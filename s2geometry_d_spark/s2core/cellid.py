@@ -198,6 +198,23 @@ def token_to_id(token: str) -> int:
         return 0
 
 
+def _scalar_to_face_ij(cid: int) -> tuple[int, int, int]:
+    """Pure-python (face, i, j) decode — avoids 1-element numpy overhead in
+    driver-side loops (coverer, cell geometry)."""
+    face = cid >> POS_BITS
+    i = 0
+    j = 0
+    bits = face & SWAP_MASK
+    for k in range(7, -1, -1):
+        nbits = (MAX_LEVEL - 7 * LOOKUP_BITS) if k == 7 else LOOKUP_BITS
+        bits += ((cid >> (k * 2 * LOOKUP_BITS + 1)) & ((1 << (2 * nbits)) - 1)) << 2
+        bits = LOOKUP_IJ_PY[bits]
+        i += (bits >> (LOOKUP_BITS + 2)) << (k * LOOKUP_BITS)
+        j += ((bits >> 2) & ((1 << LOOKUP_BITS) - 1)) << (k * LOOKUP_BITS)
+        bits &= SWAP_MASK | INVERT_MASK
+    return face, i, j
+
+
 def _scalar_from_face_ij(face: int, i: int, j: int) -> int:
     n = face << (POS_BITS - 1)
     bits = face & SWAP_MASK
@@ -344,15 +361,25 @@ class CellId:
 
     # -- geometry ---------------------------------------------------------
     def to_face_ij(self) -> tuple[int, int, int]:
-        f, i, j = to_face_ij(np.array([self.id], dtype=np.uint64))
-        return int(f[0]), int(i[0]), int(j[0])
+        return _scalar_to_face_ij(self.id)
 
     def get_size_ij(self) -> int:
         return 1 << (MAX_LEVEL - self.level())
 
     def to_point(self) -> tuple[float, float, float]:
-        x, y, z = to_xyz(np.array([self.id], dtype=np.uint64))
-        return float(x[0]), float(y[0]), float(z[0])
+        face, i, j = self.to_face_ij()
+        if self.is_leaf():
+            delta = 1
+        else:
+            delta = 2 if ((i ^ (self.id >> 2)) & 1) else 0
+        si, ti = 2 * i + delta, 2 * j + delta
+        u = coords.st_to_uv_scalar(si / coords.MAX_SI_TI)
+        v = coords.st_to_uv_scalar(ti / coords.MAX_SI_TI)
+        x, y, z = coords.face_uv_to_xyz_scalar(face, u, v)
+        import math
+
+        n = math.sqrt(x * x + y * y + z * z)
+        return x / n, y / n, z / n
 
     def to_latlng(self) -> tuple[float, float]:
         lat, lng = to_latlng(np.array([self.id], dtype=np.uint64))
@@ -367,10 +394,11 @@ class CellId:
         size = self.get_size_ij()
         ilo = i & -size
         jlo = j & -size
-        u_lo = float(coords.st_to_uv(coords.ij_to_st_min(ilo)))
-        u_hi = float(coords.st_to_uv(coords.ij_to_st_min(ilo + size)))
-        v_lo = float(coords.st_to_uv(coords.ij_to_st_min(jlo)))
-        v_hi = float(coords.st_to_uv(coords.ij_to_st_min(jlo + size)))
+        scale = 1.0 / coords.LIMIT_IJ
+        u_lo = coords.st_to_uv_scalar(scale * ilo)
+        u_hi = coords.st_to_uv_scalar(scale * (ilo + size))
+        v_lo = coords.st_to_uv_scalar(scale * jlo)
+        v_hi = coords.st_to_uv_scalar(scale * (jlo + size))
         return ((u_lo, u_hi), (v_lo, v_hi))
 
     # -- neighbors ---------------------------------------------------------

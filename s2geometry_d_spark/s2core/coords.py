@@ -153,3 +153,27 @@ def si_ti_to_st(si):
 
 def st_to_si_ti(s):
     return np.floor(np.asarray(s, dtype=np.float64) * MAX_SI_TI + 0.5).astype(np.int64)
+
+
+# ----------------------------------------------------- scalar fast paths
+# Pure-python variants for driver-side loops (coverer, cell geometry) where
+# 1-element numpy arrays would dominate the cost.
+
+def st_to_uv_scalar(s: float) -> float:
+    if s >= 0.5:
+        return (1.0 / 3.0) * (4.0 * s * s - 1.0)
+    return (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
+
+
+_FACE_XYZ_SCALAR = (
+    lambda u, v: (1.0, u, v),
+    lambda u, v: (-u, 1.0, v),
+    lambda u, v: (-u, -v, 1.0),
+    lambda u, v: (-1.0, -v, -u),
+    lambda u, v: (v, -1.0, -u),
+    lambda u, v: (v, u, -1.0),
+)
+
+
+def face_uv_to_xyz_scalar(face: int, u: float, v: float) -> tuple[float, float, float]:
+    return _FACE_XYZ_SCALAR[face](u, v)
