@@ -1,0 +1,223 @@
+"""Covering-based spatial joins: point-in-region (cap / rect / polygon).
+
+The distributed plan (SURVEY.md §2.4):
+
+1. driver: regions (small) -> interior+exterior coverings via RegionCoverer,
+   one row per covering cell ``(region_id, level, cell_signed, is_interior)``;
+2. points: leaf ``cell_signed`` column (pandas-UDF kernel, computed once);
+3. **equi-join, not theta-join**: a point lies in covering cell c iff
+   ``parent(point_cell, level(c)) == c``, so the point side explodes a tiny
+   array of native-computed ancestors (one per distinct covering level) and
+   the join is a broadcast hash join on ``(level, cell)`` — no
+   BroadcastNestedLoopJoin, no range predicate, survives any point count;
+4. interior hits are accepted with **no further math**; boundary hits run the
+   exact predicate (native SQL for cap/rect, Arrow-batched parity UDF for
+   polygons) — the same two-tier structure as the reference's indexed
+   contains (s2contains_point_query.d:147-156,248-278).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import kernels
+from ..s2core import cellid as ci
+from ..s2core.cellid import CellId
+from ..s2core.coverer import CovererOptions, RegionCoverer
+from ..s2core.loops import Polygon
+from ..s2core.regions import Cap, Cell, LatLngRect
+
+
+@dataclass
+class RegionCovering:
+    region_id: str
+    region: object
+    cells: list  # [(cell_id_unsigned, is_interior)]
+
+
+def compute_coverings(regions: list[tuple[str, object]], max_cells: int = 64) -> list[RegionCovering]:
+    """Exterior covering per region; each cell classified interior/boundary.
+
+    Interior cells admit points with no exact test, so more covering cells
+    (deeper max_cells) trades driver time for executor work — the analogue
+    of the reference's index-once-reuse-everywhere tradeoff
+    (s2loop.d:1078-1093: index build ~50x one query)."""
+    out = []
+    for rid, region in regions:
+        coverer = RegionCoverer(CovererOptions(max_cells=max_cells))
+        cov = coverer.get_covering(region)
+        cells = []
+        for cid in cov:
+            cells.append((cid, region.contains_cell(Cell(CellId(cid)))))
+        out.append(RegionCovering(rid, region, cells))
+    return out
+
+
+def covering_dataframe(spark, coverings: list[RegionCovering]) -> DataFrame:
+    rows = []
+    for rc in coverings:
+        for cid, is_interior in rc.cells:
+            level = CellId(cid).level()
+            signed = int(np.int64(np.uint64(cid) ^ np.uint64(1 << 63)))
+            rows.append((rc.region_id, level, signed, bool(is_interior)))
+    schema = T.StructType(
+        [
+            T.StructField("region_id", T.StringType(), False),
+            T.StructField("cov_level", T.IntegerType(), False),
+            T.StructField("cov_cell", T.LongType(), False),
+            T.StructField("is_interior", T.BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def candidate_join(
+    points_df: DataFrame,
+    coverings: list[RegionCovering],
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Broadcast equi-join of points against covering cells.
+
+    Returns points columns + (region_id, is_interior).  The point side
+    computes one native ``parent_signed`` per distinct covering level and
+    explodes — bounded fan-out (#levels, typically <= 8), all codegen'd.
+    """
+    spark = points_df.sparkSession
+    levels = sorted({CellId(cid).level() for rc in coverings for cid, _ in rc.cells})
+    cov_df = covering_dataframe(spark, coverings)
+
+    ancestors = F.array(
+        *[
+            F.struct(
+                F.lit(lvl).alias("cov_level"),
+                kernels.parent_signed(F.col(cell_col), lvl).alias("cov_cell"),
+            )
+            for lvl in levels
+        ]
+    )
+    exploded = points_df.withColumn("_anc", F.explode(ancestors)).withColumn(
+        "cov_level", F.col("_anc.cov_level")
+    ).withColumn("cov_cell", F.col("_anc.cov_cell")).drop("_anc")
+
+    return exploded.join(F.broadcast(cov_df), ["cov_level", "cov_cell"], "inner").drop(
+        "cov_level", "cov_cell"
+    )
+
+
+def _polygon_pip_udf(polygons: dict[str, Polygon]):
+    """Arrow-batched exact PIP for boundary candidates, keyed by region id.
+    Ships only edge arrays + parity bits to executors."""
+    payload = {
+        rid: (
+            [(tuple(c), tuple(d)) for c, d in poly._all_edges],
+            poly._base_parity,
+        )
+        for rid, poly in polygons.items()
+    }
+
+    @F.pandas_udf(T.BooleanType())
+    def pip_exact(region_id: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
+        from ..s2core import coords
+        from ..s2core import predicates as pred
+
+        lat_np = lat.to_numpy(dtype=np.float64)
+        lng_np = lng.to_numpy(dtype=np.float64)
+        x, y, z = coords.latlng_to_xyz(lat_np, lng_np)
+        out = np.zeros(len(lat_np), dtype=bool)
+        for rid in region_id.unique():
+            edges, base = payload[rid]
+            m = (region_id == rid).to_numpy()
+            counts = pred.crossings_with_fixed_edges(
+                pred.ORIGIN[0], pred.ORIGIN[1], pred.ORIGIN[2], x[m], y[m], z[m], edges
+            )
+            out[m] = ((counts & 1).astype(bool)) ^ base
+        return pd.Series(out)
+
+    return pip_exact
+
+
+def points_in_regions(
+    points_df: DataFrame,
+    regions: list[tuple[str, object]],
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    cell_col: str = "cell_id",
+    max_cells: int = 64,
+) -> DataFrame:
+    """Full PIP join: returns points rows + region_id for every containment.
+
+    Two-tier: interior covering hits pass through untested; boundary hits run
+    the exact predicate for their region kind.
+    """
+    coverings = compute_coverings(regions, max_cells=max_cells)
+    cand = candidate_join(points_df, coverings, cell_col=cell_col)
+
+    interior = cand.filter(F.col("is_interior")).drop("is_interior")
+    boundary = cand.filter(~F.col("is_interior")).drop("is_interior")
+
+    caps = {rid: r for rid, r in regions if isinstance(r, Cap)}
+    rects = {rid: r for rid, r in regions if isinstance(r, LatLngRect)}
+    polys = {rid: r for rid, r in regions if isinstance(r, Polygon)}
+
+    exact_parts = []
+    if caps:
+        # native chord^2 test per cap — build a CASE over region_id
+        cond = None
+        for rid, cap in caps.items():
+            cx, cy, cz = cap.center
+            lat_r = F.radians(F.col(lat_col))
+            lng_r = F.radians(F.col(lng_col))
+            px = F.cos(lng_r) * F.cos(lat_r)
+            py = F.sin(lng_r) * F.cos(lat_r)
+            pz = F.sin(lat_r)
+            d2 = (px - F.lit(cx)) ** 2 + (py - F.lit(cy)) ** 2 + (pz - F.lit(cz)) ** 2
+            this = (F.col("region_id") == rid) & (d2 <= F.lit(cap.radius2))
+            cond = this if cond is None else (cond | this)
+        exact_parts.append(
+            boundary.filter(F.col("region_id").isin(list(caps))).filter(cond)
+        )
+    if rects:
+        cond = None
+        for rid, rect in rects.items():
+            lat_r = F.radians(F.col(lat_col))
+            lng_r = F.radians(F.col(lng_col))
+            lat_ok = (lat_r >= F.lit(rect.lat_lo)) & (lat_r <= F.lit(rect.lat_hi))
+            if rect.lng.is_inverted():
+                lng_ok = (lng_r >= F.lit(rect.lng.lo)) | (lng_r <= F.lit(rect.lng.hi))
+            else:
+                lng_ok = (lng_r >= F.lit(rect.lng.lo)) & (lng_r <= F.lit(rect.lng.hi))
+            this = (F.col("region_id") == rid) & lat_ok & lng_ok
+            cond = this if cond is None else (cond | this)
+        exact_parts.append(
+            boundary.filter(F.col("region_id").isin(list(rects))).filter(cond)
+        )
+    if polys:
+        pip = _polygon_pip_udf(polys)
+        exact_parts.append(
+            boundary.filter(F.col("region_id").isin(list(polys))).filter(
+                pip(F.col("region_id"), F.col(lat_col), F.col(lng_col))
+            )
+        )
+
+    result = interior
+    for part in exact_parts:
+        result = result.unionByName(part)
+    return result
+
+
+def points_not_in_regions(
+    points_df: DataFrame,
+    regions: list[tuple[str, object]],
+    key_cols: list[str],
+    **kwargs,
+) -> DataFrame:
+    """Spatial anti-join: points contained by no region (left_anti on keys)."""
+    hits = points_in_regions(points_df, regions, **kwargs).select(*key_cols).distinct()
+    return points_df.join(hits, key_cols, "left_anti")

@@ -1,0 +1,53 @@
+"""Load driver testdata tables and derive deterministic spatial columns.
+
+The spatial fact table is derived from ``orders`` by a pure-integer hash
+placement that any ANSI-SQL engine reproduces exactly (the DuckDB oracle
+uses the same formulas), then made sphere-uniform via lat = asin(2u-1)
+(mirroring the reference's S2Testing.randomPoint, test/s2/s2testing.d:320).
+
+    u = ((key * 2654435761 + C) % 1000003) / 1000003.0
+    lat = degrees(asin(2u - 1)) ; lng = 360*v - 180
+
+At 100 TB the same derivation is a projection over the Iceberg fact table —
+no shuffle, no UDF (all Catalyst-native trig/bit expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import kernels
+
+# Knuth multiplicative constant + a large prime modulus: portable int math.
+_MULT = 2654435761
+_MOD = 1000003
+_C1 = 12345
+_C2 = 678901
+
+LAT_SQL = f"degrees(asin(2*(((o_orderkey * {_MULT} + {_C1}) % {_MOD}) / {_MOD}.0) - 1))"
+LNG_SQL = f"360*(((o_orderkey * {_MULT} + {_C2}) % {_MOD}) / {_MOD}.0) - 180"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def spatial_points(spark: SparkSession, sf_dir: str, with_cell: bool = True) -> DataFrame:
+    """orders -> (point_id, lat, lng[, cell_id]) deterministic placement."""
+    df = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("point_id"),
+        F.expr(LAT_SQL).alias("lat"),
+        F.expr(LNG_SQL).alias("lng"),
+    )
+    if with_cell:
+        df = df.withColumn("cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng")))
+    return df
+
+
+def oracle_points_cte() -> str:
+    """DuckDB CTE producing the identical (point_id, lat, lng) table."""
+    return (
+        "SELECT o_orderkey AS point_id, "
+        f"{LAT_SQL} AS lat, {LNG_SQL} AS lng FROM orders"
+    )
