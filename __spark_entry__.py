@@ -1,38 +1,413 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: s2geometry_d_spark — PySpark-native S2 spatial-join + tiling engine
+(SURVEY.md).  Each ``queries()`` entry is a DataFrame plan over the driver
+testdata; ``oracle_sql()`` states the identical computation in ANSI SQL for
+DuckDB.  Cell-id-dependent operators (coverings, tiling, roundtrips) have no
+SQL form — they are pinned by the pytest invariant suites instead and get
+the driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from s2geometry_d_spark.functions import kernels
+from s2geometry_d_spark.operators import dedup, knn, similarity, text, tiling
+from s2geometry_d_spark.operators.spatial_join import (
+    points_in_regions,
+    points_not_in_regions,
+)
+from s2geometry_d_spark.plans import demo
+from s2geometry_d_spark.sources import tables
+from s2geometry_d_spark.sources.images import synth_images
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.spatial_points(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-cap spatial join on sf0.001."""
+    return queries()["pip_cap_join"](spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def _q_pip_cap(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return (
+        points_in_regions(pts, demo.cap_regions())
+        .select("region_id", "point_id")
+        .distinct()
+    )
+
+
+def _q_pip_rect(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return (
+        points_in_regions(pts, demo.rect_regions())
+        .select("region_id", "point_id")
+        .distinct()
+    )
+
+
+def _q_pip_poly(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return (
+        points_in_regions(pts, [demo.poly_region()])
+        .select("point_id")
+        .distinct()
+    )
+
+
+def _q_spatial_antijoin(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    out = points_not_in_regions(pts, demo.all_regions(), ["point_id"])
+    return out.agg(F.count("*").alias("n_outside"))
+
+
+def _q_knn(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    n = pts.count()
+    res = knn.knn_join(
+        pts, demo.knn_queries(), k=5, n_points_hint=n, tie_col="point_id"
+    )
+    return res.select("query_id", "rank", "point_id")
+
+
+def _q_cell_roundtrip(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    back = pts.withColumn("lat2", kernels.cell_to_lat(F.col("cell_id"))).withColumn(
+        "lng2", kernels.cell_to_lng(F.col("cell_id"))
+    )
+    rt = back.withColumn(
+        "cell2", kernels.cell_from_latlng(F.col("lat2"), F.col("lng2"))
+    )
+    return rt.select(
+        "point_id",
+        kernels.cell_token(F.col("cell_id")).alias("token"),
+        (F.col("cell2") == F.col("cell_id")).alias("roundtrip_ok"),
+    )
+
+
+def _q_covering_cells(spark, sf_dir):
+    from s2geometry_d_spark.operators.spatial_join import (
+        compute_coverings,
+        covering_dataframe,
+    )
+
+    covs = compute_coverings(demo.all_regions(), max_cells=64)
+    df = covering_dataframe(spark, covs)
+    return df.select(
+        "region_id",
+        "cov_level",
+        kernels.cell_token(F.col("cov_cell")).alias("cell_token"),
+        "is_interior",
+    )
+
+
+def _q_cell_partition_stats(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return (
+        pts.withColumn("parent5", kernels.parent_signed(F.col("cell_id"), 5))
+        .groupBy("parent5")
+        .agg(F.count("*").alias("n_points"))
+        .select(kernels.cell_token(F.col("parent5")).alias("cell_token"), "n_points")
+    )
+
+
+def _q_tile_assignment(spark, sf_dir):
+    imgs = synth_images(spark, sf_dir)
+    assigned = tiling.image_tile_assignment(imgs)
+    return assigned.select(
+        "image_id",
+        "tile_x",
+        "tile_y",
+        "level",
+        kernels.cell_token(F.col("cell_id")).alias("cell_token"),
+    )
+
+
+def _q_image_verify(spark, sf_dir):
+    from s2geometry_d_spark.operators.multimodal import verify_images
+
+    return verify_images(synth_images(spark, sf_dir)).select(
+        "image_id", "fmt", "psnr_ok", "caption_ok"
+    )
+
+
+def _q_image_features(spark, sf_dir):
+    from s2geometry_d_spark.operators.multimodal import image_features
+
+    return image_features(synth_images(spark, sf_dir))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    return similarity.cosine_topk_lsh(_embeddings(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # -- spatial joins (SQL-oracled) --------------------------------
+        "pip_cap_join": _q_pip_cap,
+        "pip_rect_join": _q_pip_rect,
+        "pip_poly_join": _q_pip_poly,
+        "spatial_antijoin": _q_spatial_antijoin,
+        "knn_join": _q_knn,
+        # -- cell-id operators (rows-only; pinned by pytest invariants) --
+        "cell_roundtrip": _q_cell_roundtrip,
+        "covering_cells": _q_covering_cells,
+        "cell_partition_stats": _q_cell_partition_stats,
+        "tile_assignment": _q_tile_assignment,
+        "image_verify": _q_image_verify,
+        "image_features": _q_image_features,
+        "ann_cosine_lsh": _q_ann_lsh,
+        # -- training-data pipeline ops (SQL-oracled) ---------------------
+        # exact dedup over a corpus with injected duplicates (the raw
+        # documents table has none, which would test nothing)
+        "dedup_exact": lambda s, d: dedup.dedup_exact(
+            _docs(s, d).unionByName(
+                _docs(s, d).withColumn("doc_id", F.col("doc_id") + 1000000)
+            )
+        ),
+        "dedup_minhash_lsh": lambda s, d: dedup.dedup_minhash_lsh(_docs(s, d)),
+        "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        "simhash16": lambda s, d: dedup.simhash16(_docs(s, d)),
+        "lang_id": lambda s, d: text.lang_id(_docs(s, d)),
+        "token_count": lambda s, d: text.token_count(_docs(s, d)),
+        "quality_score": lambda s, d: text.quality_score(_docs(s, d)),
+        "fingerprint": lambda s, d: text.fingerprint(_docs(s, d)),
+        "ann_cosine_topk": lambda s, d: similarity.cosine_topk_bruteforce(
+            _embeddings(s, d)
+        ),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _pip_cap_sql() -> str:
+    parts = [
+        f"SELECT '{rid}' AS region_id, point_id FROM points WHERE "
+        + demo.cap_predicate_sql(lat, lng, r)
+        for rid, lat, lng, r in demo.CAPS
+    ]
+    return f"WITH points AS ({demo.points_cte()}) " + " UNION ALL ".join(parts)
+
+
+def _pip_rect_sql() -> str:
+    parts = [
+        f"SELECT '{rid}' AS region_id, point_id FROM points WHERE "
+        + demo.rect_predicate_sql(a, b, c, d)
+        for rid, a, b, c, d in demo.RECTS
+    ]
+    return f"WITH points AS ({demo.points_cte()}) " + " UNION ALL ".join(parts)
+
+
+def _pip_poly_sql() -> str:
+    return (
+        f"WITH points AS ({demo.points_cte()}) "
+        f"SELECT point_id FROM points WHERE {demo.poly_predicate_sql()}"
+    )
+
+
+def _spatial_antijoin_sql() -> str:
+    preds = [demo.cap_predicate_sql(lat, lng, r) for _, lat, lng, r in demo.CAPS]
+    preds += [demo.rect_predicate_sql(a, b, c, d) for _, a, b, c, d in demo.RECTS]
+    preds.append(demo.poly_predicate_sql())
+    anyof = " OR ".join(f"({p})" for p in preds)
+    return (
+        f"WITH points AS ({demo.points_cte()}) "
+        f"SELECT count(*) AS n_outside FROM points WHERE NOT ({anyof})"
+    )
+
+
+def _knn_sql() -> str:
+    return f"""
+WITH points AS ({demo.points_cte()}),
+q AS (SELECT * FROM {demo.knn_queries_values_sql()}),
+scored AS (
+  SELECT q.query_id, p.point_id,
+         (cos(radians(p.lng))*cos(radians(p.lat)) - q.qx)*(cos(radians(p.lng))*cos(radians(p.lat)) - q.qx)
+       + (sin(radians(p.lng))*cos(radians(p.lat)) - q.qy)*(sin(radians(p.lng))*cos(radians(p.lat)) - q.qy)
+       + (sin(radians(p.lat)) - q.qz)*(sin(radians(p.lat)) - q.qz) AS dist2
+  FROM points p CROSS JOIN q
+)
+SELECT query_id, rank, point_id FROM (
+  SELECT query_id, point_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, point_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+_SHINGLES_CTE = (
+    "shingles AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS sh "
+    "FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(1, length(text) - 7))) AS i "
+    "FROM documents))"
+)
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, band, min(md5(sh || '#' || CAST(band AS VARCHAR))) AS sig
+  FROM shingles CROSS JOIN (VALUES (0),(1),(2),(3)) AS b(band)
+  GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def _jaccard_sql() -> str:
+    return f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jac
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+"""
+
+
+def _simhash_sql() -> str:
+    sums = ",\n  ".join(
+        "SUM(CASE WHEN substr(h, {p}, 1) IN ('8','9','a','b','c','d','e','f') "
+        "THEN 1 ELSE -1 END) AS s{b}".format(p=b + 1, b=b)
+        for b in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM s
+"""
+
+
+def _langid_sql() -> str:
+    def cnt(markers):
+        return " + ".join(
+            f"(length(t) - length(replace(t, '{m}', ''))) / {len(m)}" for m in markers
+        )
+
+    return f"""
+WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
+s AS (SELECT doc_id,
+  {cnt(text.LANG_MARKERS['de'])} AS s_de,
+  {cnt(text.LANG_MARKERS['en'])} AS s_en,
+  {cnt(text.LANG_MARKERS['es'])} AS s_es,
+  {cnt(text.LANG_MARKERS['fr'])} AS s_fr
+ FROM padded)
+SELECT doc_id, CASE
+  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+  WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+  WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+  WHEN s_fr > 0 THEN 'fr'
+  ELSE 'und' END AS pred_lang
+FROM s
+"""
+
+
+def _quality_sql() -> str:
+    return """
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS n_spaces
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round((n_chars - n_spaces) / n_tokens, 6) AS avg_token_len,
+       round(n_spaces / n_chars, 6) AS space_ratio,
+       round(least(1e0, n_tokens / 100e0)
+             * (1e0 - abs((n_chars - n_spaces) / n_tokens - 5e0) / 10e0), 6) AS score
+FROM m
+"""
+
+
+def _ann_sql() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pip_cap_join": _pip_cap_sql(),
+        "pip_rect_join": _pip_rect_sql(),
+        "pip_poly_join": _pip_poly_sql(),
+        "spatial_antijoin": _spatial_antijoin_sql(),
+        "knn_join": _knn_sql(),
+        "dedup_exact": (
+            "WITH corpus AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text FROM documents) "
+            "SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id "
+            "FROM corpus GROUP BY md5(text) HAVING count(*) > 1"
+        ),
+        "dedup_minhash_lsh": _minhash_sql(),
+        "ngram_jaccard": _jaccard_sql(),
+        "simhash16": _simhash_sql(),
+        "lang_id": _langid_sql(),
+        "token_count": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+            "FROM documents"
+        ),
+        "quality_score": _quality_sql(),
+        "fingerprint": (
+            "SELECT doc_id, substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 16) AS fp "
+            "FROM documents"
+        ),
+        "ann_cosine_topk": _ann_sql(),
+    }

@@ -48,12 +48,16 @@ def knn_join(
     initial_radius_deg: float | None = None,
     max_rounds: int = 6,
     n_points_hint: int | None = None,
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Returns (query_id, rank, dist2, <point columns>) with rank 1..k.
 
     ``queries``: [(query_id, lat_deg, lng_deg)] — small (broadcast side).
+    ``tie_col``: deterministic tie-break column for equal distances
+    (defaults to the cell column).
     """
     spark = points_df.sparkSession
+    tie_col = tie_col or cell_col
 
     if initial_radius_deg is None:
         # expected radius containing ~4k points under uniform density
@@ -86,7 +90,7 @@ def knn_join(
         scored = cand.withColumn("dist2", _chord2_to_query_expr(lat_col, lng_col)).filter(
             F.col("dist2") <= F.col("r2")
         )
-        w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col(cell_col).asc())
+        w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col(tie_col).asc())
         topk = (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -120,7 +124,7 @@ def knn_join(
         qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz"])
         cand = points_df.crossJoin(F.broadcast(qdf))
         scored = cand.withColumn("dist2", _chord2_to_query_expr(lat_col, lng_col))
-        w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col(cell_col).asc())
+        w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col(tie_col).asc())
         topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop(
             "qx", "qy", "qz"
         )
@@ -136,9 +140,11 @@ def knn_brute_force(
     lat_col: str = "lat",
     lng_col: str = "lng",
     cell_col: str = "cell_id",
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Oracle: exact cross-join top-k (reference setUseBruteForce analogue)."""
     spark = points_df.sparkSession
+    tie_col = tie_col or cell_col
     qdf = spark.createDataFrame(
         [(qid, *_xyz(lat, lng)) for qid, lat, lng in queries],
         ["query_id", "qx", "qy", "qz"],
@@ -146,7 +152,7 @@ def knn_brute_force(
     scored = points_df.crossJoin(F.broadcast(qdf)).withColumn(
         "dist2", _chord2_to_query_expr(lat_col, lng_col)
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col(cell_col).asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col(tie_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop(
         "qx", "qy", "qz"
     )

@@ -1,0 +1,131 @@
+"""Shared demo regions + SQL-oracle fragments for the driver contract.
+
+Every region here has BOTH a Spark execution path (covering join) and an
+ANSI-SQL predicate form so DuckDB can verify the join output row-for-row.
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..s2core.loops import Loop, Polygon
+from ..s2core.regions import Cap, LatLngRect
+
+# -- caps ---------------------------------------------------------------
+CAPS = [
+    ("cap_paris", 48.85, 2.35, 25.0),
+    ("cap_sydney", -33.86, 151.21, 18.0),
+    ("cap_andes", -20.0, -65.0, 12.0),
+]
+
+# -- rects (one crossing the dateline) -----------------------------------
+RECTS = [
+    ("rect_dateline", -20.0, 25.0, 160.0, -160.0),
+    ("rect_europe", 35.0, 60.0, -10.0, 30.0),
+]
+
+# -- convex polygon (regular loop => CCW, interior-left) -------------------
+POLY_SPEC = ("poly_andes", -20.0, -65.0, 12.0, 12)  # id, lat, lng, radius, n
+
+
+def cap_regions() -> list[tuple[str, Cap]]:
+    return [(rid, Cap.from_latlng_radius(lat, lng, r)) for rid, lat, lng, r in CAPS]
+
+
+def rect_regions() -> list[tuple[str, LatLngRect]]:
+    return [
+        (rid, LatLngRect.from_degrees(a, b, c, d)) for rid, a, b, c, d in RECTS
+    ]
+
+
+def poly_region() -> tuple[str, Polygon]:
+    rid, lat, lng, r, n = POLY_SPEC
+    return rid, Polygon([Loop.make_regular(lat, lng, r, n)], rid)
+
+
+def all_regions():
+    return cap_regions() + rect_regions() + [poly_region()]
+
+
+# ---------------------------------------------------------------- SQL forms
+
+def points_cte() -> str:
+    """Deterministic (point_id, lat, lng) derivation — identical to
+    sources.tables.spatial_points (uses e0 literals => DOUBLE everywhere)."""
+    return (
+        "SELECT o_orderkey AS point_id, "
+        "degrees(asin(2e0*(((o_orderkey * 2654435761 + 12345) % 1000003) / 1000003e0) - 1e0)) AS lat, "
+        "360e0*(((o_orderkey * 2246822519 + 678901) % 1000003) / 1000003e0) - 180e0 AS lng "
+        "FROM orders"
+    )
+
+
+def xyz_sql(lat: str = "lat", lng: str = "lng") -> tuple[str, str, str]:
+    return (
+        f"cos(radians({lng}))*cos(radians({lat}))",
+        f"sin(radians({lng}))*cos(radians({lat}))",
+        f"sin(radians({lat}))",
+    )
+
+
+def cap_predicate_sql(lat_c: float, lng_c: float, radius_deg: float) -> str:
+    """chord^2(point, center) <= chord^2(radius) over (lat,lng) columns."""
+    cap = Cap.from_latlng_radius(lat_c, lng_c, radius_deg)
+    cx, cy, cz = cap.center
+    px, py, pz = xyz_sql()
+    return (
+        f"(({px})-({cx!r}))*(({px})-({cx!r})) + "
+        f"(({py})-({cy!r}))*(({py})-({cy!r})) + "
+        f"(({pz})-({cz!r}))*(({pz})-({cz!r})) <= {cap.radius2!r}"
+    )
+
+
+def rect_predicate_sql(lat_lo, lat_hi, lng_lo, lng_hi) -> str:
+    lat_ok = f"(lat >= {float(lat_lo)!r} AND lat <= {float(lat_hi)!r})"
+    if lng_lo <= lng_hi:
+        lng_ok = f"(lng >= {float(lng_lo)!r} AND lng <= {float(lng_hi)!r})"
+    else:  # dateline wrap
+        lng_ok = f"(lng >= {float(lng_lo)!r} OR lng <= {float(lng_hi)!r})"
+    return f"({lat_ok} AND {lng_ok})"
+
+
+def poly_predicate_sql() -> str:
+    """Convex CCW loop: inside iff dot(edge_normal_i, p) > 0 for all edges;
+    normals precomputed in python and inlined as double literals."""
+    _, poly = poly_region()
+    loop = poly.loops[0]
+    v = loop.vertices
+    px, py, pz = xyz_sql()
+    conds = []
+    for i in range(len(v)):
+        a, b = v[i], v[(i + 1) % len(v)]
+        nx = a[1] * b[2] - a[2] * b[1]
+        ny = a[2] * b[0] - a[0] * b[2]
+        nz = a[0] * b[1] - a[1] * b[0]
+        conds.append(f"(({nx!r})*({px}) + ({ny!r})*({py}) + ({nz!r})*({pz}) > 0)")
+    return "(" + " AND ".join(conds) + ")"
+
+
+def knn_queries() -> list[tuple[str, float, float]]:
+    return [
+        ("q1", 48.85, 2.35),
+        ("q2", -33.86, 151.21),
+        ("q3", 0.0, 0.0),
+        ("q4", 89.0, 10.0),
+        ("q5", 10.0, 179.9),
+        ("q6", -89.0, -10.0),
+        ("q7", 35.68, 139.69),
+        ("q8", -1.29, 36.82),
+    ]
+
+
+def knn_queries_values_sql() -> str:
+    rows = []
+    for qid, lat, lng in knn_queries():
+        lat_r = math.radians(lat)
+        lng_r = math.radians(lng)
+        qx = math.cos(lng_r) * math.cos(lat_r)
+        qy = math.sin(lng_r) * math.cos(lat_r)
+        qz = math.sin(lat_r)
+        rows.append(f"('{qid}', {qx!r}, {qy!r}, {qz!r})")
+    return "(VALUES " + ", ".join(rows) + ") AS q(query_id, qx, qy, qz)"

@@ -1,0 +1,100 @@
+"""Deterministic synthetic image+caption table (BASELINE.json input_hint).
+
+Schema: (image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash long) + derived placement (lat, lng, extent_deg).
+
+Real image codecs are not available in this container, so ``bytes`` holds a
+deterministic FAKE encoding (seeded byte pattern with a tiny header); the
+decode stub in operators/multimodal.py inverts it exactly.  The Spark-side
+plumbing — schema, binary column, Arrow batching, partitioning — is real;
+swapping in PIL/libjpeg later only changes the two codec functions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+W = H = 64
+_MULT1 = 2654435761
+_MULT2 = 2246822519
+_MOD = 1000003
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+        T.StructField("lng", T.DoubleType(), False),
+        T.StructField("extent_deg", T.DoubleType(), False),
+    ]
+)
+
+
+def fake_pixels(seed: int) -> np.ndarray:
+    """Deterministic H x W x 3 uint8 'image' for a seed."""
+    rng = np.random.default_rng(42 + seed)
+    return rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
+
+
+def fake_encode(pixels: np.ndarray, fmt: str) -> bytes:
+    """Stub codec: 8-byte header + raw (png) or coarsely-quantized (jpeg)
+    pixel payload.  NOT a real codec — marked clearly; see module docstring."""
+    header = b"FAKE" + fmt[:3].encode().ljust(3, b"\0") + b"\1"
+    if fmt == "jpeg":
+        # lossy stand-in: quantize to 16 levels (PSNR stays finite)
+        payload = ((pixels >> 4) << 4).tobytes()
+    else:
+        payload = pixels.tobytes()
+    return header + payload
+
+
+def synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image table derived 1:1 from ``documents`` rows (deterministic)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                image_id = f"img{i:012d}"
+                fmt = "png" if i % 2 == 0 else "jpeg"
+                pix = fake_pixels(i)
+                u = ((i * _MULT1 + 12345) % _MOD) / _MOD
+                v = ((i * _MULT2 + 678901) % _MOD) / _MOD
+                lat = float(np.degrees(np.arcsin(2 * u - 1)))
+                lng = 360.0 * v - 180.0
+                phash = struct.unpack(
+                    ">q", hashlib.sha256(image_id.encode()).digest()[:8]
+                )[0]
+                rows.append(
+                    (
+                        image_id,
+                        fake_encode(pix, fmt),
+                        W,
+                        H,
+                        fmt,
+                        f"synthetic image {i} at {lat:.6f},{lng:.6f}",
+                        phash,
+                        lat,
+                        lng,
+                        0.5 + (i % 10) / 10.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_SCHEMA.fields]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, IMAGE_SCHEMA)

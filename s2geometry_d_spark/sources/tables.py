@@ -20,13 +20,14 @@ from pyspark.sql import functions as F
 from ..functions import kernels
 
 # Knuth multiplicative constant + a large prime modulus: portable int math.
-_MULT = 2654435761
+_MULT1 = 2654435761
+_MULT2 = 2246822519
 _MOD = 1000003
 _C1 = 12345
 _C2 = 678901
 
-LAT_SQL = f"degrees(asin(2*(((o_orderkey * {_MULT} + {_C1}) % {_MOD}) / {_MOD}.0) - 1))"
-LNG_SQL = f"360*(((o_orderkey * {_MULT} + {_C2}) % {_MOD}) / {_MOD}.0) - 180"
+LAT_SQL = f"degrees(asin(2e0*(((o_orderkey * {_MULT1} + {_C1}) % {_MOD}) / {_MOD}e0) - 1e0))"
+LNG_SQL = f"360e0*(((o_orderkey * {_MULT2} + {_C2}) % {_MOD}) / {_MOD}e0) - 180e0"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
