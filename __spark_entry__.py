@@ -54,29 +54,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_pip_cap(spark, sf_dir):
     pts = _points(spark, sf_dir)
-    return (
-        points_in_regions(pts, demo.cap_regions())
-        .select("region_id", "point_id")
-        .distinct()
-    )
+    # covering cells are disjoint: at most one candidate row per
+    # (point, region), so no distinct / shuffle is needed
+    return points_in_regions(pts, demo.cap_regions()).select("region_id", "point_id")
 
 
 def _q_pip_rect(spark, sf_dir):
     pts = _points(spark, sf_dir)
-    return (
-        points_in_regions(pts, demo.rect_regions())
-        .select("region_id", "point_id")
-        .distinct()
-    )
+    return points_in_regions(pts, demo.rect_regions()).select("region_id", "point_id")
 
 
 def _q_pip_poly(spark, sf_dir):
     pts = _points(spark, sf_dir)
-    return (
-        points_in_regions(pts, [demo.poly_region()])
-        .select("point_id")
-        .distinct()
-    )
+    return points_in_regions(pts, [demo.poly_region()]).select("point_id")
 
 
 def _q_spatial_antijoin(spark, sf_dir):

@@ -111,6 +111,59 @@ def candidate_join(
     )
 
 
+# Above this many covering rows the broadcast hash join stops being the
+# right physical plan (the reference's brute-force-below-threshold analogue,
+# s2closest_edge_query.d:207-271; SURVEY.md §4) — switch to a shuffled
+# sort-merge join on a fixed-level ancestor prefix.
+BROADCAST_COVERING_LIMIT = 100_000
+
+
+def _lsb_expr(col):
+    return col.bitwiseAND(-col)
+
+
+def candidate_join_smj(
+    points_df: DataFrame,
+    coverings: list[RegionCovering],
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Shuffled covering join for LARGE region sets (millions of polygons).
+
+    Both sides shuffle on the level-L ancestor (L = the coarsest covering
+    level), then a native residual range test
+    ``point_cell BETWEEN range_min(cov) AND range_max(cov)`` keeps exact
+    containment.  All keys/bounds are codegen'd bit math — no UDF.
+    """
+    spark = points_df.sparkSession
+    cov_df = covering_dataframe(spark, coverings)
+    join_level = min(CellId(cid).level() for rc in coverings for cid, _ in rc.cells)
+
+    cov_keyed = cov_df.withColumn(
+        "join_key", kernels.parent_signed(F.col("cov_cell"), join_level)
+    ).withColumn("cov_lsb", _lsb_expr(F.col("cov_cell")))
+    pts_keyed = points_df.withColumn(
+        "join_key", kernels.parent_signed(F.col(cell_col), join_level)
+    )
+    joined = pts_keyed.join(cov_keyed, "join_key", "inner")
+    residual = (F.col(cell_col) >= F.col("cov_cell") - (F.col("cov_lsb") - 1)) & (
+        F.col(cell_col) <= F.col("cov_cell") + (F.col("cov_lsb") - 1)
+    )
+    return joined.filter(residual).drop("join_key", "cov_lsb", "cov_level", "cov_cell")
+
+
+def candidate_join_auto(
+    points_df: DataFrame,
+    coverings: list[RegionCovering],
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Strategy chooser: broadcast equi-join for small covering tables,
+    shuffled prefix join beyond BROADCAST_COVERING_LIMIT."""
+    total = sum(len(rc.cells) for rc in coverings)
+    if total <= BROADCAST_COVERING_LIMIT:
+        return candidate_join(points_df, coverings, cell_col)
+    return candidate_join_smj(points_df, coverings, cell_col)
+
+
 def _polygon_pip_udf(polygons: dict[str, Polygon]):
     """Arrow-batched exact PIP for boundary candidates, keyed by region id.
     Ships only edge arrays + parity bits to executors."""
@@ -157,7 +210,7 @@ def points_in_regions(
     the exact predicate for their region kind.
     """
     coverings = compute_coverings(regions, max_cells=max_cells)
-    cand = candidate_join(points_df, coverings, cell_col=cell_col)
+    cand = candidate_join_auto(points_df, coverings, cell_col=cell_col)
 
     interior = cand.filter(F.col("is_interior")).drop("is_interior")
     boundary = cand.filter(~F.col("is_interior")).drop("is_interior")
