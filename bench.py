@@ -1,0 +1,119 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "spatial_rows_per_sec": ...}
+
+The authoritative target (BASELINE.json) is spatial-join rows/sec over
+PIP + kNN + tile-assignment; scaling-efficiency evidence between two
+parallelism levels is produced by scripts/scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# queries counted in the headline spatial-join throughput metric
+SPATIAL = ["pip_cap_join", "pip_rect_join", "pip_poly_join", "knn_join", "tile_assignment"]
+# additional engine coverage included in total wall time
+EXTRA = [
+    "cell_roundtrip",
+    "dedup_minhash_lsh",
+    "simhash16",
+    "ann_cosine_topk",
+    "fingerprint",
+    "dedup_exact",
+    "lang_id",
+]
+
+
+def force(df) -> int:
+    """Force full evaluation of every column (count() alone would let
+    Catalyst prune the expensive projections)."""
+    from pyspark.sql import functions as F
+
+    hashed = df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("_h"))
+    row = hashed.agg(
+        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(_h)").alias("h")
+    ).collect()[0]
+    return int(row["n"])
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("s2spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    # warm the JVM + Arrow path once (excluded from timings)
+    force(qs["token_count"](spark, SF_DIR))
+
+    # min over 2 runs per query: the sandbox shows 10-30x scheduler noise on
+    # identical jobs; min-of-N is the standard way to report the engine's
+    # actual cost rather than the machine's worst hiccup
+    for name in SPATIAL + EXTRA:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            rows[name] = force(qs[name](spark, SF_DIR))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    # spatial throughput: input rows driven through the three join families
+    import duckdb
+
+    n_points = duckdb.sql(
+        f"select count(*) from read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchone()[0]
+    n_docs = duckdb.sql(
+        f"select count(*) from read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    spatial_rows_in = 4 * n_points + n_docs * 16  # 3 PIP + kNN scans + tiles
+    spatial_secs = sum(timings[q] for q in SPATIAL)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline query wall time (spatial joins + pipeline ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "rows": rows,
+        "spatial_rows_per_sec": round(spatial_rows_in / spatial_secs, 1),
+        "spatial_secs": round(spatial_secs, 3),
+        "spatial_rows_in": spatial_rows_in,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

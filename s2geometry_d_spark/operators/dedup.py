@@ -65,17 +65,20 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     """Per-(doc, band) min-hash: min over shingles of md5(sh || '#' || band).
-    md5-hex min is a valid uniform min-hash and is engine-portable."""
+    md5-hex min is a valid uniform min-hash and is engine-portable.
+
+    One groupBy pass computes all band minima as separate aggregates (one
+    shuffle of the shingle set instead of a bands-x row explode), then
+    unpivots — map-side partial aggregation keeps the shuffle tiny."""
     sh = shingles(docs)
-    band_df = sh.select(
-        "doc_id",
-        "sh",
-        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
-    )
-    return band_df.groupBy("doc_id", "band").agg(
-        F.min(
-            F.md5(F.concat(F.col("sh"), F.lit("#"), F.col("band").cast("string")).cast("binary"))
-        ).alias("sig")
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{b}")).cast("binary"))).alias(f"sig{b}")
+        for b in range(bands)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{b}, sig{b}" for b in range(bands))
+    return wide.selectExpr(
+        "doc_id", f"stack({bands}, {stack}) AS (band, sig)"
     )
 
 

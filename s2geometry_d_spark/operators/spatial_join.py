@@ -185,6 +185,11 @@ def _polygon_pip_udf(polygons: dict[str, Polygon]):
         x, y, z = coords.latlng_to_xyz(lat_np, lng_np)
         out = np.zeros(len(lat_np), dtype=bool)
         for rid in region_id.unique():
+            if rid not in payload:
+                # UDFs in a disjunction are evaluated for every candidate
+                # row, including non-polygon regions: those stay False here
+                # (their own native predicate decides acceptance).
+                continue
             edges, base = payload[rid]
             m = (region_id == rid).to_numpy()
             counts = pred.crossings_with_fixed_edges(
@@ -212,57 +217,44 @@ def points_in_regions(
     coverings = compute_coverings(regions, max_cells=max_cells)
     cand = candidate_join_auto(points_df, coverings, cell_col=cell_col)
 
-    interior = cand.filter(F.col("is_interior")).drop("is_interior")
-    boundary = cand.filter(~F.col("is_interior")).drop("is_interior")
-
     caps = {rid: r for rid, r in regions if isinstance(r, Cap)}
     rects = {rid: r for rid, r in regions if isinstance(r, LatLngRect)}
     polys = {rid: r for rid, r in regions if isinstance(r, Polygon)}
 
-    exact_parts = []
-    if caps:
-        # native chord^2 test per cap — build a CASE over region_id
-        cond = None
-        for rid, cap in caps.items():
-            cx, cy, cz = cap.center
-            lat_r = F.radians(F.col(lat_col))
-            lng_r = F.radians(F.col(lng_col))
-            px = F.cos(lng_r) * F.cos(lat_r)
-            py = F.sin(lng_r) * F.cos(lat_r)
-            pz = F.sin(lat_r)
-            d2 = (px - F.lit(cx)) ** 2 + (py - F.lit(cy)) ** 2 + (pz - F.lit(cz)) ** 2
-            this = (F.col("region_id") == rid) & (d2 <= F.lit(cap.radius2))
-            cond = this if cond is None else (cond | this)
-        exact_parts.append(
-            boundary.filter(F.col("region_id").isin(list(caps))).filter(cond)
+    # SINGLE-PASS acceptance: interior hits pass untested; boundary hits run
+    # the exact predicate for their region kind — all in one filter so the
+    # point subtree (parquet scan + cell-id UDF) is evaluated exactly once
+    # (a union of interior/boundary branches would recompute it per branch).
+    lat_r = F.radians(F.col(lat_col))
+    lng_r = F.radians(F.col(lng_col))
+    px = F.cos(lng_r) * F.cos(lat_r)
+    py = F.sin(lng_r) * F.cos(lat_r)
+    pz = F.sin(lat_r)
+
+    accept = F.col("is_interior")
+    for rid, cap in caps.items():
+        cx, cy, cz = cap.center
+        d2 = (
+            (px - F.lit(cx)) * (px - F.lit(cx))
+            + (py - F.lit(cy)) * (py - F.lit(cy))
+            + (pz - F.lit(cz)) * (pz - F.lit(cz))
         )
-    if rects:
-        cond = None
-        for rid, rect in rects.items():
-            lat_r = F.radians(F.col(lat_col))
-            lng_r = F.radians(F.col(lng_col))
-            lat_ok = (lat_r >= F.lit(rect.lat_lo)) & (lat_r <= F.lit(rect.lat_hi))
-            if rect.lng.is_inverted():
-                lng_ok = (lng_r >= F.lit(rect.lng.lo)) | (lng_r <= F.lit(rect.lng.hi))
-            else:
-                lng_ok = (lng_r >= F.lit(rect.lng.lo)) & (lng_r <= F.lit(rect.lng.hi))
-            this = (F.col("region_id") == rid) & lat_ok & lng_ok
-            cond = this if cond is None else (cond | this)
-        exact_parts.append(
-            boundary.filter(F.col("region_id").isin(list(rects))).filter(cond)
-        )
+        accept = accept | ((F.col("region_id") == rid) & (d2 <= F.lit(cap.radius2)))
+    for rid, rect in rects.items():
+        lat_ok = (lat_r >= F.lit(rect.lat_lo)) & (lat_r <= F.lit(rect.lat_hi))
+        if rect.lng.is_inverted():
+            lng_ok = (lng_r >= F.lit(rect.lng.lo)) | (lng_r <= F.lit(rect.lng.hi))
+        else:
+            lng_ok = (lng_r >= F.lit(rect.lng.lo)) & (lng_r <= F.lit(rect.lng.hi))
+        accept = accept | ((F.col("region_id") == rid) & lat_ok & lng_ok)
     if polys:
         pip = _polygon_pip_udf(polys)
-        exact_parts.append(
-            boundary.filter(F.col("region_id").isin(list(polys))).filter(
-                pip(F.col("region_id"), F.col(lat_col), F.col(lng_col))
-            )
+        accept = accept | (
+            F.col("region_id").isin(list(polys))
+            & pip(F.col("region_id"), F.col(lat_col), F.col(lng_col))
         )
 
-    result = interior
-    for part in exact_parts:
-        result = result.unionByName(part)
-    return result
+    return cand.filter(accept).drop("is_interior")
 
 
 def points_not_in_regions(

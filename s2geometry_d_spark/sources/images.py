@@ -42,10 +42,18 @@ IMAGE_SCHEMA = T.StructType(
 )
 
 
+_YXC = (
+    np.arange(H, dtype=np.uint32)[:, None, None] * np.uint32(7919)
+    + np.arange(W, dtype=np.uint32)[None, :, None] * np.uint32(104729)
+    + np.arange(3, dtype=np.uint32)[None, None, :] * np.uint32(1299709)
+)
+
+
 def fake_pixels(seed: int) -> np.ndarray:
-    """Deterministic H x W x 3 uint8 'image' for a seed."""
-    rng = np.random.default_rng(42 + seed)
-    return rng.integers(0, 256, size=(H, W, 3), dtype=np.uint8)
+    """Deterministic H x W x 3 uint8 'image' for a seed — pure integer hash
+    (vectorized; no RNG object per row)."""
+    v = (np.uint32(seed) * np.uint32(2654435761) + _YXC) * np.uint32(2246822519)
+    return ((v >> np.uint32(16)) & np.uint32(0xFF)).astype(np.uint8)
 
 
 def fake_encode(pixels: np.ndarray, fmt: str) -> bytes:
@@ -62,7 +70,10 @@ def fake_encode(pixels: np.ndarray, fmt: str) -> bytes:
 
 def synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image table derived 1:1 from ``documents`` rows (deterministic)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # parallelize generation: the documents parquet is a single file/split,
+    # which would serialize the python generator on one core
+    n_parts = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(n_parts)
 
     def gen(batches):
         for pdf in batches:
@@ -98,3 +109,17 @@ def synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.select("doc_id", "text").mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def synth_images_cached(spark: SparkSession, sf_dir: str, cache_root: str | None = None) -> DataFrame:
+    """Materialized image table (parquet) — the fact table is *stored*, not
+    regenerated per query; generation happens once per sf_dir."""
+    import os
+
+    cache_root = cache_root or "/root/repo/.cache/images"
+    key = sf_dir.rstrip("/").replace("/", "_")
+    path = os.path.join(cache_root, key)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        synth_images(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
