@@ -6,38 +6,104 @@ it touches, with L picked from the AVG_EDGE metric for the tile extent
 (the reference's tiling primitives operate on cell ranges and uv rects,
 s2cell_id.d:673-700, s2cell_union.d:136-179; SURVEY.md §2.8).
 
-Physical plan (all JVM-native except one Arrow kernel):
+Cell assignment per tile (one vectorized Arrow kernel, no per-row python):
 
-  explode tile grid -> explode SAMPLES x SAMPLES lattice (native sequence)
-  -> cell_from_latlng pandas UDF (one vectorized batch pass)
-  -> ancestor at the per-row level (native bit math via expr)
-  -> dropDuplicates (map-side combine, shuffle on high-cardinality key)
+1. sample a 4x4 lattice of the tile -> (face, i, j) leaf coords;
+2. single-face tiles (the overwhelming case): enumerate the level-L ij
+   bounding box padded by one cell — a guaranteed **superset** of every
+   level-L cell touching the tile (the pad absorbs the curvature deviation
+   between lattice samples, which is < 1 cell at the chosen level), with
+   bounded over-assignment (bbox corners may not touch the tile);
+3. tiles whose samples straddle a cube-face boundary fall back to the
+   sampled cells themselves (documented approximation at face seams).
 
-The sample lattice (spacing <= half the min cell width at L) includes every
-cell whose overlap with the tile contains a half-spacing disc; corner
-slivers below sampling resolution may be omitted (documented, deterministic
-engine semantic).  The inverse mapping (cell -> tiles) is the same table
-queried the other way.
+The kernel emits a fixed-width array (grid clamp + repeats); the explode +
+dropDuplicates run JVM-side so dedup is a map-side-combined shuffle.
+The inverse mapping (cell -> tiles) is the same table queried the other way.
 """
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import kernels
-from ..s2core import metrics
+from ..s2core import cellid as ci
+from ..s2core import coords, metrics
 
 GRID = 4
-SAMPLES = 5  # per axis; >= 2*tile extent / min cell width at the level used
+_SAMP = 4  # lattice samples per axis inside the kernel
+_K = 6  # max grid cells per axis (bbox + pad); kernel output = _K*_K longs
 
 
 def tile_level_for_extent(extent_deg: float) -> int:
     """Covering level for one tile of an extent/GRID-degree footprint."""
     tile_rad = math.radians(extent_deg / GRID)
     return metrics.AVG_EDGE.get_closest_level(tile_rad)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def tile_cells(
+    lat0: pd.Series, lat1: pd.Series, lng0: pd.Series, lng1: pd.Series, level: pd.Series
+) -> pd.Series:
+    n = len(lat0)
+    la0 = lat0.to_numpy(dtype=np.float64)
+    la1 = lat1.to_numpy(dtype=np.float64)
+    lo0 = lng0.to_numpy(dtype=np.float64)
+    lo1 = lng1.to_numpy(dtype=np.float64)
+    lvl = level.to_numpy(dtype=np.int64)
+
+    fr = np.linspace(0.0, 1.0, _SAMP)
+    lats = la0[:, None, None] + (la1 - la0)[:, None, None] * fr[None, :, None]
+    lngs = lo0[:, None, None] + (lo1 - lo0)[:, None, None] * fr[None, None, :]
+    lats = np.broadcast_to(lats, (n, _SAMP, _SAMP)).reshape(n, -1)
+    lngs = np.broadcast_to(lngs, (n, _SAMP, _SAMP)).reshape(n, -1)
+    lngs = ((lngs + 180.0) % 360.0) - 180.0
+
+    x, y, z = coords.latlng_to_xyz(lats.ravel(), lngs.ravel())
+    face, u, v = coords.xyz_to_face_uv(x, y, z)
+    i = coords.st_to_ij(coords.uv_to_st(u)).reshape(n, -1)
+    j = coords.st_to_ij(coords.uv_to_st(v)).reshape(n, -1)
+    face = face.reshape(n, -1)
+
+    same_face = (face == face[:, :1]).all(axis=1)
+    size = (np.int64(1) << (30 - lvl)).astype(np.int64)  # leaf cells per level-L cell edge
+
+    # bbox in level-L grid units, padded by one cell, clamped to the face
+    gi_lo = np.maximum(i.min(axis=1) // size - 1, 0)
+    gi_hi = np.minimum(i.max(axis=1) // size + 1, (1 << 30) // size - 1)
+    gj_lo = np.maximum(j.min(axis=1) // size - 1, 0)
+    gj_hi = np.minimum(j.max(axis=1) // size + 1, (1 << 30) // size - 1)
+    ni = gi_hi - gi_lo + 1
+    nj = gj_hi - gj_lo + 1
+
+    k = np.arange(_K)
+    ii = (gi_lo[:, None] + np.minimum(k[None, :], ni[:, None] - 1)) * size[:, None]
+    jj = (gj_lo[:, None] + np.minimum(k[None, :], nj[:, None] - 1)) * size[:, None]
+    grid_i = np.repeat(ii, _K, axis=1)  # (n, K*K)
+    grid_j = np.tile(jj, (1, _K))
+    grid_face = np.broadcast_to(face[:, :1], grid_i.shape)
+
+    leaf = ci.from_face_ij(
+        grid_face.ravel(), grid_i.ravel(), grid_j.ravel()
+    ).reshape(n, _K * _K)
+    # face-straddling tiles: use the sampled leaves (padded by repetition)
+    if not same_face.all():
+        m = ~same_face
+        samp = ci.from_face_ij(face[m].ravel(), i[m].ravel(), j[m].ravel()).reshape(
+            m.sum(), -1
+        )
+        reps = int(np.ceil(_K * _K / samp.shape[1]))
+        leaf[m] = np.tile(samp, (1, reps))[:, : _K * _K]
+
+    parents = ci.parent(leaf.ravel(), np.repeat(lvl, _K * _K))
+    signed = ci.to_signed(parents).reshape(n, _K * _K)
+    return pd.Series(list(signed))
 
 
 def image_tile_assignment(
@@ -62,9 +128,11 @@ def image_tile_assignment(
         images.withColumn("tile_x", F.explode(F.sequence(F.lit(0), F.lit(GRID - 1))))
         .withColumn("tile_y", F.explode(F.sequence(F.lit(0), F.lit(GRID - 1))))
         .withColumn("lat0", F.col(lat_col) - half + F.col(extent_col) * F.col("tile_y") / g)
+        .withColumn("lat1", F.col("lat0") + F.col(extent_col) / g)
         .withColumn("lng0", F.col(lng_col) - half + F.col(extent_col) * F.col("tile_x") / g)
-        .withColumn("dlat", F.col(extent_col) / g)
-        .withColumn("dlng", F.col(extent_col) / g)
+        .withColumn("lng1", F.col("lng0") + F.col(extent_col) / g)
+        .withColumn("lat0", F.greatest(F.lit(-89.9), F.least(F.lit(89.9), F.col("lat0"))))
+        .withColumn("lat1", F.greatest(F.lit(-89.9), F.least(F.lit(89.9), F.col("lat1"))))
     )
 
     # level per image from the tile extent: extents are low-cardinality, so
@@ -81,29 +149,13 @@ def image_tile_assignment(
     )
     tiles = tiles.join(F.broadcast(lookup), extent_col)
 
-    # SAMPLES x SAMPLES lattice, fully native; longitude wraps, latitude clamps
-    frac = [k / (SAMPLES - 1) for k in range(SAMPLES)]
-    samples = (
-        tiles.withColumn("fi", F.explode(F.array(*[F.lit(f) for f in frac])))
-        .withColumn("fj", F.explode(F.array(*[F.lit(f) for f in frac])))
-        .withColumn(
-            "s_lat",
-            F.greatest(F.lit(-89.9), F.least(F.lit(89.9), F.col("lat0") + F.col("dlat") * F.col("fj"))),
-        )
-        .withColumn(
-            "s_lng",
-            F.pmod(F.col("lng0") + F.col("dlng") * F.col("fi") + F.lit(180.0), F.lit(360.0))
-            - F.lit(180.0),
-        )
+    assigned = tiles.withColumn(
+        "cells",
+        tile_cells(F.col("lat0"), F.col("lat1"), F.col("lng0"), F.col("lng1"), F.col("level")),
     )
-    leafed = samples.withColumn(
-        "s_cell", kernels.cell_from_latlng(F.col("s_lat"), F.col("s_lng"))
+    return (
+        assigned.select(
+            F.col(id_col), "tile_x", "tile_y", "level", F.explode("cells").alias("cell_id")
+        )
+        .dropDuplicates([id_col, "tile_x", "tile_y", "cell_id"])
     )
-    # ancestor at the per-row level: native bit math with a column level
-    with_cell = leafed.withColumn(
-        "lsb", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(2*(30 - level) AS INT))")
-    ).withColumn("cell_id", F.expr("(s_cell & -lsb) | lsb"))
-
-    return with_cell.select(
-        F.col(id_col), "tile_x", "tile_y", "level", "cell_id"
-    ).dropDuplicates([id_col, "tile_x", "tile_y", "cell_id"])

@@ -61,8 +61,9 @@ def fake_encode(pixels: np.ndarray, fmt: str) -> bytes:
     pixel payload.  NOT a real codec — marked clearly; see module docstring."""
     header = b"FAKE" + fmt[:3].encode().ljust(3, b"\0") + b"\1"
     if fmt == "jpeg":
-        # lossy stand-in: quantize to 16 levels (PSNR stays finite)
-        payload = ((pixels >> 4) << 4).tobytes()
+        # lossy stand-in: 6-bit quantization -> PSNR ~42.7 dB (finite, above
+        # the 40 dB per-row invariant, below lossless)
+        payload = ((pixels >> 2) << 2).tobytes()
     else:
         payload = pixels.tobytes()
     return header + payload
