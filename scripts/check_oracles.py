@@ -53,6 +53,7 @@ def main():
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
+        .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
