@@ -84,6 +84,33 @@ def _q_knn(spark, sf_dir):
     return res.select("query_id", "rank", "point_id")
 
 
+WITHIN_QUERIES = [("q1", 48.85, 2.35), ("q2", -33.86, 151.21), ("q3", 10.0, 179.9)]
+WITHIN_RADIUS = 8.0
+
+
+def _q_within_distance(spark, sf_dir):
+    from s2geometry_d_spark.operators.distance import within_distance_join
+
+    pts = _points(spark, sf_dir)
+    out = within_distance_join(pts, WITHIN_QUERIES, WITHIN_RADIUS)
+    return out.select("query_id", "point_id")
+
+
+def _q_group_bounds(spark, sf_dir):
+    from s2geometry_d_spark.operators.distance import group_cap_bounds
+
+    pts = _points(spark, sf_dir).withColumn("band", F.floor(F.col("lat") / 10.0))
+    b = group_cap_bounds(pts, "band")
+    return b.select(
+        F.col("band").cast("long").alias("band"),
+        F.col("n").alias("n_points"),
+        F.round("cx", 6).alias("cx"),
+        F.round("cy", 6).alias("cy"),
+        F.round("cz", 6).alias("cz"),
+        F.round("max_chord2", 6).alias("max_chord2"),
+    )
+
+
 def _q_cell_roundtrip(spark, sf_dir):
     pts = _points(spark, sf_dir)
     back = pts.withColumn("lat2", kernels.cell_to_lat(F.col("cell_id"))).withColumn(
@@ -164,6 +191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_poly_join": _q_pip_poly,
         "spatial_antijoin": _q_spatial_antijoin,
         "knn_join": _q_knn,
+        "within_distance_join": _q_within_distance,
+        "group_cap_bounds": _q_group_bounds,
         # -- cell-id operators (rows-only; pinned by pytest invariants) --
         "cell_roundtrip": _q_cell_roundtrip,
         "covering_cells": _q_covering_cells,
@@ -374,9 +403,65 @@ SELECT query_id, rank, neighbor_id, sim FROM (
 """
 
 
+def _within_distance_sql() -> str:
+    import math as _math
+
+    from s2geometry_d_spark.s2core.regions import chord2_from_radians
+
+    r2 = chord2_from_radians(_math.radians(WITHIN_RADIUS))
+    rows = []
+    for qid, lat, lng in WITHIN_QUERIES:
+        la, ln = _math.radians(lat), _math.radians(lng)
+        rows.append(
+            f"('{qid}', {_math.cos(ln) * _math.cos(la)!r}, "
+            f"{_math.sin(ln) * _math.cos(la)!r}, {_math.sin(la)!r})"
+        )
+    values = ", ".join(rows)
+    return f"""
+WITH points AS ({demo.points_cte()}),
+q AS (SELECT * FROM (VALUES {values}) AS q(query_id, qx, qy, qz))
+SELECT q.query_id, p.point_id
+FROM points p CROSS JOIN q
+WHERE (cos(radians(p.lng))*cos(radians(p.lat)) - q.qx)*(cos(radians(p.lng))*cos(radians(p.lat)) - q.qx)
+    + (sin(radians(p.lng))*cos(radians(p.lat)) - q.qy)*(sin(radians(p.lng))*cos(radians(p.lat)) - q.qy)
+    + (sin(radians(p.lat)) - q.qz)*(sin(radians(p.lat)) - q.qz) <= {r2!r}
+"""
+
+
+def _group_bounds_sql() -> str:
+    return f"""
+WITH points AS ({demo.points_cte()}),
+xyz AS (
+  SELECT CAST(floor(lat / 10e0) AS BIGINT) AS band,
+         cos(radians(lng))*cos(radians(lat)) AS px,
+         sin(radians(lng))*cos(radians(lat)) AS py,
+         sin(radians(lat)) AS pz
+  FROM points
+),
+sums AS (
+  SELECT band, count(*) AS n_points, sum(px) AS sx, sum(py) AS sy, sum(pz) AS sz
+  FROM xyz GROUP BY band
+),
+cent AS (
+  SELECT band, n_points,
+         sx / sqrt(sx*sx + sy*sy + sz*sz) AS cx,
+         sy / sqrt(sx*sx + sy*sy + sz*sz) AS cy,
+         sz / sqrt(sx*sx + sy*sy + sz*sz) AS cz
+  FROM sums
+)
+SELECT c.band, c.n_points,
+       round(c.cx, 6) AS cx, round(c.cy, 6) AS cy, round(c.cz, 6) AS cz,
+       round(max((x.px-c.cx)*(x.px-c.cx) + (x.py-c.cy)*(x.py-c.cy) + (x.pz-c.cz)*(x.pz-c.cz)), 6) AS max_chord2
+FROM xyz x JOIN cent c USING (band)
+GROUP BY c.band, c.n_points, c.cx, c.cy, c.cz
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pip_cap_join": _pip_cap_sql(),
+        "within_distance_join": _within_distance_sql(),
+        "group_cap_bounds": _group_bounds_sql(),
         "pip_rect_join": _pip_rect_sql(),
         "pip_poly_join": _pip_poly_sql(),
         "spatial_antijoin": _spatial_antijoin_sql(),

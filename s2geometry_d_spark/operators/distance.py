@@ -1,0 +1,111 @@
+"""Distance operators: within-distance join and per-group bounding caps.
+
+* ``within_distance_join`` — all points within D degrees of each query
+  point: the kNN machinery's candidate path with a fixed radius (covering
+  membership probe -> native chord^2 filter).  The reference analogue is a
+  closest-edge query with a max_distance option
+  (s2closest_edge_query.d options; SURVEY.md §2.4).
+* ``group_cap_bounds`` — bounding cap per group as a two-phase native
+  aggregation: centroid sums, then max squared-chord to the normalized
+  centroid (the reference's S2CellUnion.getCapBound shape,
+  s2cell_union.d:631-659, as a distributed groupBy).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..s2core.regions import Cap, chord2_from_radians
+from .spatial_join import candidate_match_kernel, compute_coverings
+
+
+def within_distance_join(
+    points_df: DataFrame,
+    queries: list[tuple[str, float, float]],
+    radius_deg: float,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """(query_id, <point cols>, dist2) for every point within radius_deg."""
+    spark = points_df.sparkSession
+    regions = [
+        (qid, Cap.from_latlng_radius(lat, lng, radius_deg)) for qid, lat, lng in queries
+    ]
+    coverings = compute_coverings(regions, max_cells=24)
+    cand = candidate_match_kernel(points_df, coverings, cell_col=cell_col).drop(
+        "is_interior"
+    )
+    cand = cand.withColumnRenamed("region_id", "query_id")
+    qrows = []
+    r2 = chord2_from_radians(math.radians(radius_deg))
+    for qid, lat, lng in queries:
+        la, ln = math.radians(lat), math.radians(lng)
+        qrows.append(
+            (qid, math.cos(ln) * math.cos(la), math.sin(ln) * math.cos(la), math.sin(la))
+        )
+    qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz"])
+    cand = cand.join(F.broadcast(qdf), "query_id")
+    lat_r = F.radians(F.col(lat_col))
+    lng_r = F.radians(F.col(lng_col))
+    px = F.cos(lng_r) * F.cos(lat_r)
+    py = F.sin(lng_r) * F.cos(lat_r)
+    pz = F.sin(lat_r)
+    d2 = (
+        (px - F.col("qx")) * (px - F.col("qx"))
+        + (py - F.col("qy")) * (py - F.col("qy"))
+        + (pz - F.col("qz")) * (pz - F.col("qz"))
+    )
+    return (
+        cand.withColumn("dist2", d2)
+        .filter(F.col("dist2") <= F.lit(r2))
+        .drop("qx", "qy", "qz")
+    )
+
+
+def group_cap_bounds(
+    points_df: DataFrame,
+    group_col: str,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """(group, n, cx, cy, cz, max_chord2): bounding cap per group.
+
+    Two native aggregation passes (partial aggregation both times; the
+    second pass re-joins the tiny centroid table, broadcast).
+    """
+    lat_r = F.radians(F.col(lat_col))
+    lng_r = F.radians(F.col(lng_col))
+    px = F.cos(lng_r) * F.cos(lat_r)
+    py = F.sin(lng_r) * F.cos(lat_r)
+    pz = F.sin(lat_r)
+    with_xyz = points_df.withColumn("_px", px).withColumn("_py", py).withColumn("_pz", pz)
+
+    sums = with_xyz.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_px").alias("sx"),
+        F.sum("_py").alias("sy"),
+        F.sum("_pz").alias("sz"),
+    )
+    norm = F.sqrt(F.col("sx") ** 2 + F.col("sy") ** 2 + F.col("sz") ** 2)
+    centroids = sums.select(
+        group_col,
+        "n",
+        (F.col("sx") / norm).alias("cx"),
+        (F.col("sy") / norm).alias("cy"),
+        (F.col("sz") / norm).alias("cz"),
+    )
+    joined = with_xyz.join(F.broadcast(centroids), group_col)
+    d2 = (
+        (F.col("_px") - F.col("cx")) * (F.col("_px") - F.col("cx"))
+        + (F.col("_py") - F.col("cy")) * (F.col("_py") - F.col("cy"))
+        + (F.col("_pz") - F.col("cz")) * (F.col("_pz") - F.col("cz"))
+    )
+    return (
+        joined.withColumn("_d2", d2)
+        .groupBy(group_col, "n", "cx", "cy", "cz")
+        .agg(F.max("_d2").alias("max_chord2"))
+    )

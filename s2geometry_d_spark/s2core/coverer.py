@@ -277,6 +277,30 @@ class RegionCoverer:
         return True
 
 
+def flood_fill(region, start: CellId) -> list[int]:
+    """All edge-connected cells at start's level intersecting the region
+    (s2region_coverer.d:334-346)."""
+    seen = {start.id}
+    frontier = [start]
+    out: list[int] = []
+    while frontier:
+        cid = frontier.pop()
+        if not region.may_intersect_cell(Cell(cid)):
+            continue
+        out.append(cid.id)
+        for nbr in cid.get_edge_neighbors():
+            if nbr.id not in seen:
+                seen.add(nbr.id)
+                frontier.append(nbr)
+    return out
+
+
+def get_simple_covering(region, start_point, level: int) -> list[int]:
+    """Fixed-level BFS covering from a seed point (s2region_coverer.d:315-331)."""
+    start = CellId.from_point(*start_point).parent(level)
+    return flood_fill(region, start)
+
+
 class _CellUnionRegion:
     """Adapter so a normalized cell-id list can be re-covered."""
 

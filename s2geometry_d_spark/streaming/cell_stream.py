@@ -1,0 +1,79 @@
+"""Structured Streaming: continuous cell assignment + windowed rollups.
+
+The reference is a batch library (SURVEY.md §2.10); this is the engine's
+streaming surface for the same cell math: a micro-batched event stream gets
+leaf cells from the Arrow kernel, then a watermarked tumbling-window count
+per coarse cell — the streaming form of the tile/occupancy rollup.  The
+same plan runs with Trigger.AvailableNow for deterministic tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import kernels
+
+_MULT1 = 2654435761
+_MULT2 = 2246822519
+_MOD = 1000003
+
+
+def _placed(events: DataFrame) -> DataFrame:
+    """Deterministic event placement (same int-hash scheme as the fact
+    table) + leaf cell assignment."""
+    lat = F.degrees(
+        F.asin(2.0 * (((F.col("event_id") * _MULT1 + 12345) % _MOD) / float(_MOD)) - 1.0)
+    )
+    lng = 360.0 * (((F.col("event_id") * _MULT2 + 678901) % _MOD) / float(_MOD)) - 180.0
+    out = events.withColumn("lat", lat).withColumn("lng", lng)
+    return out.withColumn("cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng")))
+
+
+def cell_occupancy_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    level: int = 4,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """readStream(parquet) -> cell assignment -> watermarked windowed count
+    per level-L cell.  Caller attaches writeStream (tests use AvailableNow +
+    memory sink)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    # parquet TIMESTAMP_NTZ is not a valid event-time column; normalize
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    placed = _placed(stream)
+    keyed = placed.withColumn(
+        "parent_cell", kernels.parent_signed(F.col("cell_id"), level)
+    )
+    return (
+        keyed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "parent_cell")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "parent_cell",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+    )
+
+
+def cell_occupancy_batch(events: DataFrame, level: int = 4, window: str = "1 hour") -> DataFrame:
+    """The identical computation as a batch plan (oracle for the stream)."""
+    placed = _placed(events)
+    keyed = placed.withColumn(
+        "parent_cell", kernels.parent_signed(F.col("cell_id"), level)
+    )
+    return (
+        keyed.groupBy(F.window("ts", window).alias("w"), "parent_cell")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "parent_cell",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+    )
