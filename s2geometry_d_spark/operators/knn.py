@@ -5,7 +5,8 @@ The reference's best-first search over the cell B-tree
 candidate join** (SURVEY.md §2.4):
 
 1. per query, a search cap of radius r seeds a covering (driver, tiny);
-2. candidates = covering equi-join on native ancestor cells (broadcast);
+2. candidates = broadcast-covering membership probe (one Arrow pass, no
+   fact-table shuffle; see spatial_join.candidate_match_kernel);
 3. exact squared-chord distance fully native (codegen), window top-k;
 4. completeness proof per query: the k-th distance must be <= chord2(r),
    else the true k-th neighbour could lie outside the ring -> double r and
@@ -23,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..s2core.regions import Cap, chord2_from_radians
-from .spatial_join import candidate_join, compute_coverings
+from .spatial_join import candidate_match_kernel, compute_coverings
 
 
 def _chord2_to_query_expr(lat_col: str, lng_col: str):
@@ -77,7 +78,7 @@ def knn_join(
             for qid, (lat, lng) in pending.items()
         ]
         coverings = compute_coverings(regions, max_cells=24)
-        cand = candidate_join(points_df, coverings, cell_col=cell_col).drop("is_interior")
+        cand = candidate_match_kernel(points_df, coverings, cell_col=cell_col).drop("is_interior")
         cand = cand.withColumnRenamed("region_id", "query_id")
 
         qrows = [
