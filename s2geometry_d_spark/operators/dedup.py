@@ -24,21 +24,6 @@ SHINGLE_LEN = 8
 LSH_BANDS = 4
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct character shingles per doc (deterministic, regex-free)."""
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text") - (SHINGLE_LEN - 1))
-            ).alias("pos"),
-        )
-        .join(docs.select("doc_id", "text"), "doc_id")
-        .select("doc_id", F.substring(F.col("text"), F.col("pos"), SHINGLE_LEN).alias("sh"))
-        .distinct()
-    )
-
-
 def shingles(docs: DataFrame) -> DataFrame:
     # single-pass variant (no re-join): explode positions carried with text
     return (

@@ -72,15 +72,25 @@ def tile_cells(
     face = face.reshape(n, -1)
 
     same_face = (face == face[:, :1]).all(axis=1)
-    size = (np.int64(1) << (30 - lvl)).astype(np.int64)  # leaf cells per level-L cell edge
 
-    # bbox in level-L grid units, padded by one cell, clamped to the face
-    gi_lo = np.maximum(i.min(axis=1) // size - 1, 0)
-    gi_hi = np.minimum(i.max(axis=1) // size + 1, (1 << 30) // size - 1)
-    gj_lo = np.maximum(j.min(axis=1) // size - 1, 0)
-    gj_hi = np.minimum(j.max(axis=1) // size + 1, (1 << 30) // size - 1)
-    ni = gi_hi - gi_lo + 1
-    nj = gj_hi - gj_lo + 1
+    # bbox in level-L grid units, padded by one cell, clamped to the face.
+    # If the padded bbox exceeds _K cells on an axis (lat-clamped polar
+    # tiles, extreme aspect near face corners), COARSEN that row's level
+    # until it fits — the output stays a guaranteed superset (never a
+    # silent truncation; emitted cells may be coarser than requested).
+    lvl = lvl.copy()
+    while True:
+        size = (np.int64(1) << (30 - lvl)).astype(np.int64)  # leafs per level-L cell edge
+        gi_lo = np.maximum(i.min(axis=1) // size - 1, 0)
+        gi_hi = np.minimum(i.max(axis=1) // size + 1, (1 << 30) // size - 1)
+        gj_lo = np.maximum(j.min(axis=1) // size - 1, 0)
+        gj_hi = np.minimum(j.max(axis=1) // size + 1, (1 << 30) // size - 1)
+        ni = gi_hi - gi_lo + 1
+        nj = gj_hi - gj_lo + 1
+        over = ((ni > _K) | (nj > _K)) & (lvl > 0)
+        if not over.any():
+            break
+        lvl = np.where(over, lvl - 1, lvl)
 
     k = np.arange(_K)
     ii = (gi_lo[:, None] + np.minimum(k[None, :], ni[:, None] - 1)) * size[:, None]

@@ -47,8 +47,10 @@ def xyz_to_latlng(x, y, z):
 def xyz_to_face_uv(x, y, z):
     """Direction vectors -> (face, u, v).
 
-    Face = axis of largest |component| (ties broken toward x then y then z,
-    matching largestAbsComponent), negated axes are faces 3..5.
+    Face = axis of largest |component|; equal components resolve to the
+    LATER axis (z wins ties over y over x, from the strict ax>ay / ax>az
+    comparisons — matching the reference's largestAbsComponent).  Negated
+    axes are faces 3..5.
     """
     x = np.atleast_1d(np.asarray(x, dtype=np.float64))
     y = np.atleast_1d(np.asarray(y, dtype=np.float64))

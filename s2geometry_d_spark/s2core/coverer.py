@@ -135,9 +135,13 @@ class RegionCoverer:
         num_levels = 1 if cand.cell.level < self.options.min_level else self.options.level_mod
         num_terminals = self._expand_children(cand, cand.cell, num_levels)
 
+        if cand.num_children == 0:
+            # No child may-intersects: drop the candidate entirely (the
+            # reference's DeleteCandidate path) — a dead pq entry would
+            # inflate the budget test below and force others terminal early.
+            return
         if (
-            cand.num_children != 0
-            and not self._interior
+            not self._interior
             and num_terminals == 1 << self._max_children_shift()
             and cand.cell.level >= self.options.min_level
         ):

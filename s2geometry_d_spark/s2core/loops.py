@@ -148,7 +148,11 @@ class Polygon:
 
     def get_cap_bound(self) -> Cap:
         # Conservative: centroid-centered cap through the farthest vertex.
-        # Sound for polygons smaller than a hemisphere (our covering inputs).
+        # Sound for polygons smaller than a hemisphere; at or above
+        # hemisphere scale (vertex spread >= 90deg from centroid, or a
+        # degenerate centroid) the vertex hull no longer bounds the interior,
+        # so fall back to the full-sphere cap — the coverer then seeds from
+        # all six faces and the covering stays complete.
         cx = cy = cz = 0.0
         n = 0
         for lp in self.loops:
@@ -157,16 +161,17 @@ class Polygon:
                 cy += v[1]
                 cz += v[2]
                 n += 1
+        norm = math.sqrt(cx * cx + cy * cy + cz * cz) / n
+        if norm < 1e-9:
+            return Cap.full()
         c = normalize((cx / n, cy / n, cz / n))
         r2 = 0.0
         for lp in self.loops:
             for v in lp.vertices:
                 r2 = max(r2, chord2_between(c, v))
-        cap = Cap(c, r2)
-        # if the polygon contains the antipode-ish region this is wrong;
-        # detect by checking the centroid itself must be inside some loop
-        # structure — for our synthetic fixtures polygons are cap-scale.
-        return cap
+        if r2 >= 2.0:  # reaches a hemisphere: vertex bound is unsound
+            return Cap.full()
+        return Cap(c, r2)
 
     def cell_union_bound(self) -> list[CellId]:
         return self.get_cap_bound().cell_union_bound()
