@@ -289,27 +289,46 @@ _SHINGLES_CTE = (
 )
 
 
-def _minhash_sql() -> str:
-    return f"""
-WITH {_SHINGLES_CTE},
-sig AS (
-  SELECT doc_id, band, min(md5(sh || '#' || CAST(band AS VARCHAR))) AS sig
-  FROM shingles CROSS JOIN (VALUES (0),(1),(2),(3)) AS b(band)
+def _minhash_ctes() -> str:
+    """Shared CTE chain: shingles -> banded minima (b x r) -> capped buckets
+    -> candidate pairs; definitions identical to dedup.dedup_minhash_lsh."""
+    b, r, cap = dedup.LSH_BANDS, dedup.LSH_ROWS, dedup.BUCKET_CAP
+    bands_values = ",".join(f"({i})" for i in range(b))
+    mins = ", ".join(
+        f"min(md5(sh || '#' || CAST(band*{r}+{j} AS VARCHAR))) AS m{j}" for j in range(r)
+    )
+    concat = " || ".join(f"m{j}" for j in range(r))
+    return f"""{_SHINGLES_CTE},
+mins AS (
+  SELECT doc_id, band, {mins}
+  FROM shingles CROSS JOIN (VALUES {bands_values}) AS bb(band)
   GROUP BY doc_id, band
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-"""
+),
+sig AS (SELECT doc_id, band, {concat} AS sig FROM mins),
+ok AS (SELECT band, sig FROM sig GROUP BY band, sig
+       HAVING count(*) <= {cap} AND count(*) > 1),
+capped AS (SELECT sig.doc_id, sig.band, sig.sig FROM sig JOIN ok USING (band, sig)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"WITH {_minhash_ctes()} SELECT doc_a, doc_b FROM cand"
 
 
 def _jaccard_sql() -> str:
     return f"""
-WITH {_SHINGLES_CTE},
+WITH {_minhash_ctes()},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b,
        round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jac

