@@ -69,6 +69,13 @@ def _q_pip_poly(spark, sf_dir):
     return points_in_regions(pts, [demo.poly_region()]).select("point_id")
 
 
+def _q_pip_bigpoly(spark, sf_dir):
+    """PIP against a 10,000-edge polygon: exercises the per-cell
+    clipped-edge index (boundary candidates test <=16 edges each)."""
+    pts = _points(spark, sf_dir)
+    return points_in_regions(pts, [demo.bigpoly_region()]).select("point_id")
+
+
 def _q_spatial_antijoin(spark, sf_dir):
     pts = _points(spark, sf_dir)
     out = points_not_in_regions(pts, demo.all_regions(), ["point_id"])
@@ -189,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_cap_join": _q_pip_cap,
         "pip_rect_join": _q_pip_rect,
         "pip_poly_join": _q_pip_poly,
+        "pip_bigpoly_join": _q_pip_bigpoly,
         "spatial_antijoin": _q_spatial_antijoin,
         "knn_join": _q_knn,
         "within_distance_join": _q_within_distance,
@@ -250,6 +258,10 @@ def _pip_poly_sql() -> str:
         f"WITH points AS ({demo.points_cte()}) "
         f"SELECT point_id FROM points WHERE {demo.poly_predicate_sql()}"
     )
+
+
+def _pip_bigpoly_sql() -> str:
+    return f"WITH points AS ({demo.points_cte()}), {demo.bigpoly_predicate_sql()}"
 
 
 def _spatial_antijoin_sql() -> str:
@@ -483,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "group_cap_bounds": _group_bounds_sql(),
         "pip_rect_join": _pip_rect_sql(),
         "pip_poly_join": _pip_poly_sql(),
+        "pip_bigpoly_join": _pip_bigpoly_sql(),
         "spatial_antijoin": _spatial_antijoin_sql(),
         "knn_join": _knn_sql(),
         "dedup_exact": (

@@ -22,7 +22,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # queries counted in the headline spatial-join throughput metric
-SPATIAL = ["pip_cap_join", "pip_rect_join", "pip_poly_join", "knn_join", "tile_assignment"]
+SPATIAL = [
+    "pip_cap_join",
+    "pip_rect_join",
+    "pip_poly_join",
+    "pip_bigpoly_join",
+    "knn_join",
+    "tile_assignment",
+]
 # additional engine coverage included in total wall time
 EXTRA = [
     "cell_roundtrip",
@@ -96,7 +103,7 @@ def main() -> None:
     n_docs = duckdb.sql(
         f"select count(*) from read_parquet('{SF_DIR}/documents.parquet')"
     ).fetchone()[0]
-    spatial_rows_in = 4 * n_points + n_docs * 16  # 3 PIP + kNN scans + tiles
+    spatial_rows_in = 5 * n_points + n_docs * 16  # 4 PIP + kNN scans + tiles
     spatial_secs = sum(timings[q] for q in SPATIAL)
 
     total = round(sum(timings.values()), 3)

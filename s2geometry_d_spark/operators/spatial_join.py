@@ -33,6 +33,7 @@ from ..s2core.cellid import CellId
 from ..s2core.coverer import CovererOptions, RegionCoverer
 from ..s2core.loops import Polygon
 from ..s2core.regions import Cap, Cell, LatLngRect
+from ..s2core.shapeindex import PolygonCellIndex
 
 
 @dataclass
@@ -254,38 +255,88 @@ def candidate_join_auto(
     return candidate_join_smj(points_df, coverings, cell_col)
 
 
-def _polygon_pip_udf(polygons: dict[str, Polygon]):
-    """Arrow-batched exact PIP for boundary candidates, keyed by region id.
-    Ships only edge arrays + parity bits to executors."""
-    payload = {
-        rid: (
-            [(tuple(c), tuple(d)) for c, d in poly._all_edges],
-            poly._base_parity,
+def _cell_index(poly: Polygon, max_edges_per_cell: int) -> PolygonCellIndex:
+    """Build (or reuse a cached) cell index for a polygon.  The index is the
+    expensive driver-side artifact (index-once-reuse-everywhere,
+    s2loop.d:1078-1093) — cache it on the polygon object."""
+    cache = getattr(poly, "_cell_index_cache", None)
+    if cache is None:
+        cache = poly._cell_index_cache = {}
+    if max_edges_per_cell not in cache:
+        cache[max_edges_per_cell] = PolygonCellIndex(
+            poly, max_edges_per_cell=max_edges_per_cell
         )
-        for rid, poly in polygons.items()
-    }
+    return cache[max_edges_per_cell]
+
+
+def _polygon_pip_udf(indexes: dict[str, PolygonCellIndex]):
+    """Arrow-batched exact PIP for boundary candidates via the per-cell
+    clipped-edge index: each candidate point counts crossings from ITS OWN
+    boundary cell's center against only that cell's <= max_edges_per_cell
+    clipped edges (the reference's contains-center structure,
+    s2contains_point_query.d:248-278 over mutable_s2shape_index.d cells) —
+    never the whole polygon edge list."""
+    payload = {}
+    for rid, idx in indexes.items():
+        by_level: dict[int, list[tuple[int, int]]] = {}
+        records = []
+        for ordinal, (cid, center, c_bit, near) in enumerate(idx.boundary):
+            lvl = CellId(cid).level()
+            signed = int(np.int64(np.uint64(cid) ^ np.uint64(1 << 63)))
+            by_level.setdefault(lvl, []).append((signed, ordinal))
+            edge_list = [
+                (tuple(idx.edges_a[e]), tuple(idx.edges_b[e])) for e in near
+            ]
+            records.append((tuple(center), bool(c_bit), edge_list))
+        tables = []
+        for lvl, rows in sorted(by_level.items()):
+            rows.sort()
+            nl = np.int64(1 << (2 * (30 - lvl)))
+            cells = np.array([r[0] for r in rows], dtype=np.int64)
+            ords = np.array([r[1] for r in rows], dtype=np.int64)
+            tables.append((nl, cells, ords))
+        payload[rid] = (tables, records)
 
     @F.pandas_udf(T.BooleanType())
-    def pip_exact(region_id: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
+    def pip_exact(
+        region_id: pd.Series, cell_signed: pd.Series, lat: pd.Series, lng: pd.Series
+    ) -> pd.Series:
         from ..s2core import coords
         from ..s2core import predicates as pred
 
+        ids = cell_signed.to_numpy(dtype=np.int64)
         lat_np = lat.to_numpy(dtype=np.float64)
         lng_np = lng.to_numpy(dtype=np.float64)
-        x, y, z = coords.latlng_to_xyz(lat_np, lng_np)
-        out = np.zeros(len(lat_np), dtype=bool)
+        out = np.zeros(ids.shape[0], dtype=bool)
         for rid in region_id.unique():
             if rid not in payload:
                 # UDFs in a disjunction are evaluated for every candidate
                 # row, including non-polygon regions: those stay False here
                 # (their own native predicate decides acceptance).
                 continue
-            edges, base = payload[rid]
+            tables, records = payload[rid]
             m = (region_id == rid).to_numpy()
-            counts = pred.crossings_with_fixed_edges(
-                pred.ORIGIN[0], pred.ORIGIN[1], pred.ORIGIN[2], x[m], y[m], z[m], edges
-            )
-            out[m] = ((counts & 1).astype(bool)) ^ base
+            sub = ids[m]
+            found = np.full(sub.shape[0], -1, dtype=np.int64)
+            # boundary cells are disjoint subdivision leaves: at most one
+            # level's ancestor matches per point
+            for nl, cells, ords in tables:
+                parents = (sub & -nl) | nl
+                pos = np.searchsorted(cells, parents)
+                pos_c = np.clip(pos, 0, cells.shape[0] - 1)
+                hit = (pos < cells.shape[0]) & (cells[pos_c] == parents) & (found < 0)
+                found[hit] = ords[pos_c[hit]]
+            if (found >= 0).any():
+                x, y, z = coords.latlng_to_xyz(lat_np[m], lng_np[m])
+                res = np.zeros(sub.shape[0], dtype=bool)
+                for o in np.unique(found[found >= 0]):
+                    g = found == o
+                    center, c_bit, edge_list = records[int(o)]
+                    counts = pred.crossings_with_fixed_edges(
+                        center[0], center[1], center[2], x[g], y[g], z[g], edge_list
+                    )
+                    res[g] = ((counts & 1).astype(bool)) ^ c_bit
+                out[m] = res
         return pd.Series(out)
 
     return pip_exact
@@ -298,18 +349,28 @@ def points_in_regions(
     lng_col: str = "lng",
     cell_col: str = "cell_id",
     max_cells: int = 64,
+    max_edges_per_cell: int = 16,
 ) -> DataFrame:
     """Full PIP join: returns points rows + region_id for every containment.
 
     Two-tier: interior covering hits pass through untested; boundary hits run
-    the exact predicate for their region kind.
+    the exact predicate for their region kind.  Caps/rects cover via the
+    RegionCoverer; polygons use their cell index (clipped edge lists), whose
+    interior/boundary cells double as the covering.
     """
-    coverings = compute_coverings(regions, max_cells=max_cells)
-    cand = candidate_join_auto(points_df, coverings, cell_col=cell_col)
-
     caps = {rid: r for rid, r in regions if isinstance(r, Cap)}
     rects = {rid: r for rid, r in regions if isinstance(r, LatLngRect)}
     polys = {rid: r for rid, r in regions if isinstance(r, Polygon)}
+
+    simple = [(rid, r) for rid, r in regions if not isinstance(r, Polygon)]
+    coverings = compute_coverings(simple, max_cells=max_cells) if simple else []
+    poly_indexes = {}
+    for rid, poly in polys.items():
+        idx = _cell_index(poly, max_edges_per_cell)
+        poly_indexes[rid] = idx
+        coverings.append(RegionCovering(rid, poly, idx.covering_cells()))
+
+    cand = candidate_join_auto(points_df, coverings, cell_col=cell_col)
 
     # SINGLE-PASS acceptance: interior hits pass untested; boundary hits run
     # the exact predicate for their region kind — all in one filter so the
@@ -338,10 +399,10 @@ def points_in_regions(
             lng_ok = (lng_r >= F.lit(rect.lng.lo)) & (lng_r <= F.lit(rect.lng.hi))
         accept = accept | ((F.col("region_id") == rid) & lat_ok & lng_ok)
     if polys:
-        pip = _polygon_pip_udf(polys)
+        pip = _polygon_pip_udf(poly_indexes)
         accept = accept | (
             F.col("region_id").isin(list(polys))
-            & pip(F.col("region_id"), F.col(lat_col), F.col(lng_col))
+            & pip(F.col("region_id"), F.col(cell_col), F.col(lat_col), F.col(lng_col))
         )
 
     return cand.filter(accept).drop("is_interior")

@@ -27,6 +27,10 @@ RECTS = [
 # -- convex polygon (regular loop => CCW, interior-left) -------------------
 POLY_SPEC = ("poly_andes", -20.0, -65.0, 12.0, 12)  # id, lat, lng, radius, n
 
+# -- large polygon (10k edges): exercises the per-cell clipped-edge index --
+POLY_BIG_SPEC = ("poly_big", 37.0, 127.0, 20.0, 10000)
+_BIGPOLY = None
+
 
 def cap_regions() -> list[tuple[str, Cap]]:
     return [(rid, Cap.from_latlng_radius(lat, lng, r)) for rid, lat, lng, r in CAPS]
@@ -41,6 +45,16 @@ def rect_regions() -> list[tuple[str, LatLngRect]]:
 def poly_region() -> tuple[str, Polygon]:
     rid, lat, lng, r, n = POLY_SPEC
     return rid, Polygon([Loop.make_regular(lat, lng, r, n)], rid)
+
+
+def bigpoly_region() -> tuple[str, Polygon]:
+    """Memoized so the polygon's cell-index cache survives across query
+    invocations in one process (index-once-reuse-everywhere)."""
+    global _BIGPOLY
+    if _BIGPOLY is None:
+        rid, lat, lng, r, n = POLY_BIG_SPEC
+        _BIGPOLY = (rid, Polygon([Loop.make_regular(lat, lng, r, n)], rid))
+    return _BIGPOLY
 
 
 def all_regions():
@@ -104,6 +118,59 @@ def poly_predicate_sql() -> str:
         nz = a[0] * b[1] - a[1] * b[0]
         conds.append(f"(({nx!r})*({px}) + ({ny!r})*({py}) + ({nz!r})*({pz}) > 0)")
     return "(" + " AND ".join(conds) + ")"
+
+
+def bigpoly_predicate_sql() -> str:
+    """Sector test for the regular n-gon, O(1) per point in SQL.
+
+    A point with azimuth phi (in the loop's construction frame) lies in the
+    spherical wedge between the meridians through vertices k and k+1 where
+    k = floor(phi / (2*pi/n)); within that wedge the polygon boundary is
+    exactly edge k, so containment is the single half-space test
+    det(v_k, v_{k+1}, p) > 0.  Vertices are restated from the same closed
+    form make_regular evaluates (unnormalized: sign tests are
+    scale-invariant).  Returns a full query body (expects a ``points`` CTE).
+    """
+    import numpy as np
+
+    from ..s2core.regions import latlng_point
+
+    _, lat, lng, r_deg, n = POLY_BIG_SPEC
+    zv = np.array(latlng_point(lat, lng))
+    a = np.array([1.0, 0.0, 0.0]) if abs(zv[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    xv = np.cross(zv, a)
+    xv /= np.linalg.norm(xv)
+    yv = np.cross(zv, xv)
+    r = math.radians(r_deg)
+    cr, sr = math.cos(r), math.sin(r)
+    px, py, pz = xyz_sql()
+    return f"""
+pts AS (SELECT point_id, {px} AS px, {py} AS py, {pz} AS pz FROM points),
+verts AS (
+  SELECT k,
+    {cr!r}*{zv[0]!r} + {sr!r}*(cos(2*pi()*k/{n})*{xv[0]!r} + sin(2*pi()*k/{n})*{yv[0]!r}) AS vx,
+    {cr!r}*{zv[1]!r} + {sr!r}*(cos(2*pi()*k/{n})*{xv[1]!r} + sin(2*pi()*k/{n})*{yv[1]!r}) AS vy,
+    {cr!r}*{zv[2]!r} + {sr!r}*(cos(2*pi()*k/{n})*{xv[2]!r} + sin(2*pi()*k/{n})*{yv[2]!r}) AS vz
+  FROM (SELECT unnest(generate_series(0, {n - 1})) AS k)
+),
+edges AS (
+  SELECT a.k AS k,
+         a.vy*b.vz - a.vz*b.vy AS nx,
+         a.vz*b.vx - a.vx*b.vz AS ny,
+         a.vx*b.vy - a.vy*b.vx AS nz
+  FROM verts a JOIN verts b ON b.k = (a.k + 1) % {n}
+),
+sect AS (
+  SELECT point_id, px, py, pz,
+    least(CAST(floor(
+      ((atan2(px*{yv[0]!r} + py*{yv[1]!r} + pz*{yv[2]!r},
+              px*{xv[0]!r} + py*{xv[1]!r} + pz*{xv[2]!r}) + 2*pi()) % (2*pi()))
+      / (2*pi()/{n})) AS BIGINT), {n - 1}) AS k
+  FROM pts
+)
+SELECT point_id FROM sect s JOIN edges e USING (k)
+WHERE e.nx*s.px + e.ny*s.py + e.nz*s.pz > 0
+"""
 
 
 def knn_queries() -> list[tuple[str, float, float]]:

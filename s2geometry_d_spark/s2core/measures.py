@@ -163,6 +163,32 @@ def point_edges_min_dist2(px, py, pz, edges) -> np.ndarray:
     return best
 
 
+def edges_min_chord2_from_point(p, A, B) -> np.ndarray:
+    """Min squared-chord distance from ONE point ``p`` (3,) to EACH edge
+    (A[i], B[i]); A, B are (k, 3) arrays — the transpose of
+    :func:`point_edges_min_dist2`, vectorized over edges.  Used by the
+    polygon cell index build to clip edge lists to cells."""
+    p = np.asarray(p, dtype=np.float64)
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    N = np.cross(A, B)
+    nn = np.linalg.norm(N, axis=1)
+    nn = np.where(nn == 0, 1.0, nn)
+    U = N / nn[:, None]
+    s = U @ p
+    Q = p[None, :] - s[:, None] * U
+    qn = np.linalg.norm(Q, axis=1)
+    qn = np.where(qn == 0, 1.0, qn)
+    Q = Q / qn[:, None]
+    in_arc = (np.einsum("ij,ij->i", Q, np.cross(U, A)) >= 0) & (
+        np.einsum("ij,ij->i", Q, np.cross(B, U)) >= 0
+    )
+    d_arc = ((p[None, :] - Q) ** 2).sum(axis=1)
+    d_a = ((p[None, :] - A) ** 2).sum(axis=1)
+    d_b = ((p[None, :] - B) ** 2).sum(axis=1)
+    return np.where(in_arc, d_arc, np.minimum(d_a, d_b))
+
+
 def polyline_length(vertices) -> float:
     """Sum of arc lengths (radians)."""
     total = 0.0
