@@ -42,6 +42,32 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+# deterministic edge fixture shared with the SQL oracle: chain points in
+# (floor(lat), lng, point_id) order -> latitude-banded short edges.  The
+# global window is fixture GENERATION only (fine at test scale); production
+# edge tables arrive as data.
+_EDGE_ORDER = "ORDER BY floor(lat), lng, point_id"
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    pts = _points(spark, sf_dir).select("point_id", "lat", "lng")
+    w = W.orderBy(F.floor("lat"), F.col("lng"), F.col("point_id"))
+    return (
+        pts.withColumn("blat", F.lead("lat").over(w))
+        .withColumn("blng", F.lead("lng").over(w))
+        .filter(F.col("blat").isNotNull())
+        .select(
+            F.col("point_id").alias("edge_id"),
+            F.col("lat").alias("alat"),
+            F.col("lng").alias("alng"),
+            "blat",
+            "blng",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-cap spatial join on sf0.001."""
     return queries()["pip_cap_join"](spark, "/root/testdata/sf0.001")
@@ -89,6 +115,15 @@ def _q_knn(spark, sf_dir):
         pts, demo.knn_queries(), k=5, n_points_hint=n, tie_col="point_id"
     )
     return res.select("query_id", "rank", "point_id")
+
+
+def _q_knn_edges(spark, sf_dir):
+    """Closest-edge kNN (the reference's flagship query class)."""
+    e = _edges(spark, sf_dir)
+    # edge count = orders count - 1; parquet metadata count is free
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count() - 1
+    res = knn.knn_edges_join(e, demo.knn_queries(), k=5, n_edges_hint=n)
+    return res.select("query_id", "rank", "edge_id")
 
 
 WITHIN_QUERIES = [("q1", 48.85, 2.35), ("q2", -33.86, 151.21), ("q3", 10.0, 179.9)]
@@ -199,6 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_bigpoly_join": _q_pip_bigpoly,
         "spatial_antijoin": _q_spatial_antijoin,
         "knn_join": _q_knn,
+        "knn_edges_join": _q_knn_edges,
         "within_distance_join": _q_within_distance,
         "group_cap_bounds": _q_group_bounds,
         # -- cell-id operators (rows-only; pinned by pytest invariants) --
@@ -289,6 +325,35 @@ scored AS (
 SELECT query_id, rank, point_id FROM (
   SELECT query_id, point_id,
          row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, point_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _knn_edges_sql() -> str:
+    from s2geometry_d_spark.functions import edgedist
+
+    a_cols = ",\n       ".join(edgedist.xyz_exprs("alat", "alng", "a"))
+    b_cols = ",\n       ".join(edgedist.xyz_exprs("blat", "blng", "b"))
+    inner = (
+        f"SELECT query_id, edge_id, qx, qy, qz,\n       {a_cols},\n       {b_cols}\n"
+        "FROM e CROSS JOIN q"
+    )
+    scored = edgedist.dist2_select_sql(inner, "query_id, edge_id")
+    return f"""
+WITH points AS ({demo.points_cte()}),
+edges_all AS (
+  SELECT point_id AS edge_id, lat AS alat, lng AS alng,
+         lead(lat) OVER ({_EDGE_ORDER}) AS blat,
+         lead(lng) OVER ({_EDGE_ORDER}) AS blng
+  FROM points
+),
+e AS (SELECT * FROM edges_all WHERE blat IS NOT NULL),
+q AS (SELECT * FROM {demo.knn_queries_values_sql()}),
+scored AS ({scored})
+SELECT query_id, rank, edge_id FROM (
+  SELECT query_id, edge_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, edge_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
 """
@@ -498,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_bigpoly_join": _pip_bigpoly_sql(),
         "spatial_antijoin": _spatial_antijoin_sql(),
         "knn_join": _knn_sql(),
+        "knn_edges_join": _knn_edges_sql(),
         "dedup_exact": (
             "WITH corpus AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents) "

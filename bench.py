@@ -28,6 +28,7 @@ SPATIAL = [
     "pip_poly_join",
     "pip_bigpoly_join",
     "knn_join",
+    "knn_edges_join",
     "tile_assignment",
 ]
 # additional engine coverage included in total wall time
@@ -103,7 +104,7 @@ def main() -> None:
     n_docs = duckdb.sql(
         f"select count(*) from read_parquet('{SF_DIR}/documents.parquet')"
     ).fetchone()[0]
-    spatial_rows_in = 5 * n_points + n_docs * 16  # 4 PIP + kNN scans + tiles
+    spatial_rows_in = 6 * n_points + n_docs * 16  # 4 PIP + 2 kNN scans + tiles
     spatial_secs = sum(timings[q] for q in SPATIAL)
 
     total = round(sum(timings.values()), 3)

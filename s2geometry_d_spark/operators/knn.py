@@ -20,8 +20,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..s2core.regions import Cap, chord2_from_radians
 from .spatial_join import candidate_match_kernel, compute_coverings
@@ -132,6 +135,226 @@ def knn_join(
         results = topk if results is None else results.unionByName(topk)
 
     return results
+
+
+def edge_register_cells_udf():
+    """(alat, alng, blat, blng) -> array<long signed> of registered cells:
+    the <=4-cell (or 6-face) cell-union bound of the edge's bounding cap —
+    a conservative cover of the whole edge, so covering-overlap candidate
+    generation is complete (the shape-index registration analogue,
+    mutable_s2shape_index.d:929-1050, via S2Cap.GetCellUnionBound).
+
+    Fully vectorized: bounding-cap level from the MIN_WIDTH metric, then
+    the (n, 4) vertex-neighbors column kernel; edges too long for any
+    single level register under their face cells."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def reg(alat: pd.Series, alng: pd.Series, blat: pd.Series, blng: pd.Series) -> pd.Series:
+        from ..s2core import cellid as ci
+        from ..s2core import coords, metrics
+
+        ax, ay, az = coords.latlng_to_xyz(
+            alat.to_numpy(dtype=np.float64), alng.to_numpy(dtype=np.float64)
+        )
+        bx, by, bz = coords.latlng_to_xyz(
+            blat.to_numpy(dtype=np.float64), blng.to_numpy(dtype=np.float64)
+        )
+        mx, my, mz = ax + bx, ay + by, az + bz
+        mn = np.sqrt(mx * mx + my * my + mz * mz)
+        mn = np.where(mn == 0, 1.0, mn)  # antipodal: radius becomes ~pi anyway
+        mx, my, mz = mx / mn, my / mn, mz / mn
+        r2 = np.maximum(
+            (mx - ax) ** 2 + (my - ay) ** 2 + (mz - az) ** 2,
+            (mx - bx) ** 2 + (my - by) ** 2 + (mz - bz) ** 2,
+        )
+        radius = 2.0 * np.arcsin(np.minimum(1.0, 0.5 * np.sqrt(r2)))
+        # vectorized Metric.get_level_for_min_value(radius) - 1  (dim=1)
+        safe = np.maximum(radius, 1e-300)
+        lvl = np.clip(
+            np.frexp(metrics.MIN_WIDTH.deriv / safe)[1] - 1, 0, 30
+        ).astype(np.int64) - 1
+
+        n = ax.shape[0]
+        out = np.empty(n, dtype=object)
+        fine = lvl >= 0
+        if fine.any():
+            leafs = ci.from_xyz(mx[fine], my[fine], mz[fine])
+            neigh = ci.vertex_neighbors(leafs, np.minimum(lvl[fine], 29))
+            signed = ci.to_signed(neigh.reshape(-1)).reshape(-1, 4)
+            for k, idx in enumerate(np.nonzero(fine)[0]):
+                out[idx] = signed[k].tolist()
+        if (~fine).any():
+            faces = [
+                int(np.int64(np.uint64(ci.CellId.from_face(f).id) ^ np.uint64(1 << 63)))
+                for f in range(6)
+            ]
+            for idx in np.nonzero(~fine)[0]:
+                out[idx] = faces
+        return pd.Series(out)
+
+    return reg
+
+
+def knn_edges_join(
+    edges_df: DataFrame,
+    queries: list[tuple[str, float, float]],
+    k: int,
+    edge_id_col: str = "edge_id",
+    initial_radius_deg: float | None = None,
+    max_rounds: int = 6,
+    n_edges_hint: int | None = None,
+) -> DataFrame:
+    """Closest-EDGE kNN: the k nearest edges to each query point — the
+    reference's flagship query class (s2closest_edge_query.d:98-332 over
+    s2closest_edge_query_base.d:356-569; distance target
+    s2min_distance_targets.d).
+
+    ``edges_df``: (edge_id, alat, alng, blat, blng).  Same ring-expansion
+    scheme as :func:`knn_join`, with three edge-specific pieces:
+
+    * each edge registers under the <=4 cells of its bounding cap's cell
+      union bound (whole-edge conservative cover, adaptive level);
+    * the covering probe is TWO-WAY (registered cells may be coarser or
+      finer than the query-cap covering cells);
+    * scoring is the closed-form point-to-edge chord^2 (functions.edgedist)
+      evaluated natively from the same expression text the SQL oracle uses.
+
+    Returns (query_id, rank, dist2, <edge columns>), rank 1..k by
+    (dist2, edge_id).
+    """
+    spark = edges_df.sparkSession
+
+    if initial_radius_deg is None:
+        n = n_edges_hint or 100_000
+        frac = min(1.0, 4.0 * k / max(n, 1))
+        initial_radius_deg = max(0.2, math.degrees(2.0 * math.asin(math.sqrt(frac))))
+
+    from ..functions import edgedist
+
+    reg_udf = edge_register_cells_udf()
+    registered = (
+        edges_df.withColumn(
+            "_rc", reg_udf(F.col("alat"), F.col("alng"), F.col("blat"), F.col("blng"))
+        )
+        .withColumn("ecell", F.explode(F.array_distinct("_rc")))
+        .drop("_rc")
+    )
+    # the registered-cell table is the reusable index artifact (the
+    # reference's build-once model, s2closest_edge_query.d:119-131): persist
+    # it so the per-round candidate probes and the final result consumption
+    # don't re-run the registration kernel per action
+    registered = registered.persist()
+
+    pending = {qid: (lat, lng) for qid, lat, lng in queries}
+    radius = {qid: initial_radius_deg for qid in pending}
+    results = None
+
+    def _score(cand: DataFrame, qdf: DataFrame) -> DataFrame:
+        cand = cand.join(F.broadcast(qdf), "query_id")
+        for expr in edgedist.xyz_exprs("alat", "alng", "a"):
+            cand = cand.selectExpr("*", expr)
+        for expr in edgedist.xyz_exprs("blat", "blng", "b"):
+            cand = cand.selectExpr("*", expr)
+        scored = edgedist.with_dist2(cand)
+        return scored.drop("ax", "ay", "az", "bx", "by", "bz")
+
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        regions = [
+            (qid, Cap.from_latlng_radius(lat, lng, min(radius[qid], 170.0)))
+            for qid, (lat, lng) in pending.items()
+        ]
+        coverings = compute_coverings(regions, max_cells=24)
+        cand = candidate_match_kernel(
+            registered, coverings, cell_col="ecell", two_way=True
+        ).drop("is_interior", "ecell")
+        cand = cand.withColumnRenamed("region_id", "query_id").dropDuplicates(
+            ["query_id", edge_id_col]
+        )
+
+        qrows = [
+            (qid, *_xyz(lat, lng), chord2_from_radians(math.radians(min(radius[qid], 170.0))))
+            for qid, (lat, lng) in pending.items()
+        ]
+        qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz", "r2"])
+        scored = _score(cand, qdf).filter(F.col("dist2") <= F.col("r2"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist2").asc(), F.col(edge_id_col).asc()
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("qx", "qy", "qz", "r2")
+        )
+
+        stats = (
+            topk.groupBy("query_id")
+            .agg(F.count("*").alias("cnt"), F.max("dist2").alias("kth"))
+            .collect()
+        )
+        done = set()
+        for row in stats:
+            r2_ring = chord2_from_radians(math.radians(min(radius[row.query_id], 170.0)))
+            if row.cnt >= k and row.kth <= r2_ring:
+                done.add(row.query_id)
+            elif radius[row.query_id] >= 170.0:
+                done.add(row.query_id)
+        done_df = topk.filter(F.col("query_id").isin(list(done))) if done else None
+        if done_df is not None:
+            results = done_df if results is None else results.unionByName(done_df)
+        for qid in done:
+            del pending[qid]
+        for qid in pending:
+            radius[qid] = radius[qid] * 2.0
+
+    if pending:
+        qrows = [(qid, *_xyz(lat, lng)) for qid, (lat, lng) in pending.items()]
+        qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz"])
+        cand = edges_df.crossJoin(
+            F.broadcast(spark.createDataFrame([(q,) for q in pending], ["query_id"]))
+        )
+        scored = _score(cand, qdf)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist2").asc(), F.col(edge_id_col).asc()
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("qx", "qy", "qz")
+        )
+        results = topk if results is None else results.unionByName(topk)
+
+    return results
+
+
+def knn_edges_brute_force(
+    edges_df: DataFrame,
+    queries: list[tuple[str, float, float]],
+    k: int,
+    edge_id_col: str = "edge_id",
+) -> DataFrame:
+    """Oracle: exact cross-join top-k over edges (setUseBruteForce analogue,
+    s2closest_edge_query_test.d:380-416)."""
+    from ..functions import edgedist
+
+    spark = edges_df.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, *_xyz(lat, lng)) for qid, lat, lng in queries],
+        ["query_id", "qx", "qy", "qz"],
+    )
+    cand = edges_df.crossJoin(F.broadcast(qdf))
+    for expr in edgedist.xyz_exprs("alat", "alng", "a"):
+        cand = cand.selectExpr("*", expr)
+    for expr in edgedist.xyz_exprs("blat", "blng", "b"):
+        cand = cand.selectExpr("*", expr)
+    scored = edgedist.with_dist2(cand).drop("ax", "ay", "az", "bx", "by", "bz")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col(edge_id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("qx", "qy", "qz")
+    )
 
 
 def knn_brute_force(

@@ -119,7 +119,7 @@ def candidate_join(
 BROADCAST_COVERING_LIMIT = 100_000
 
 
-def covering_match_udf(coverings: list[RegionCovering]):
+def covering_match_udf(coverings: list[RegionCovering], two_way: bool = False):
     """Broadcast-covering candidate matcher as ONE vectorized Arrow kernel.
 
     For small region sets the declarative alternative (explode ~13 native
@@ -128,6 +128,11 @@ def covering_match_udf(coverings: list[RegionCovering]):
     ancestor-chain membership probe inside the cell kernel's address space.
     This is still idiomatic Spark — a broadcast variable consulted in a
     map-only stage — and it keeps the fact table un-shuffled and un-exploded.
+
+    ``two_way=True`` additionally matches covering cells that are
+    DESCENDANTS of the input cell — required when the input column holds
+    non-leaf cells (e.g. an edge index registered at adaptive levels) whose
+    own cell may be coarser than a covering cell.
 
     Returns a pandas UDF: cell_id (signed) -> array<int> of codes
     ``region_idx * 2 + is_interior`` (empty for the vast majority of rows).
@@ -153,13 +158,26 @@ def covering_match_udf(coverings: list[RegionCovering]):
     def match(cell_signed: pd.Series) -> pd.Series:
         ids = cell_signed.to_numpy(dtype=np.int64)
         n = ids.shape[0]
+        lsb_in = ids & -ids  # valid in the signed-flipped domain (bit 63 untouched)
         hit_rows: list[np.ndarray] = []
         hit_codes: list[np.ndarray] = []
         for nl, cells, codes in tables:
-            parents = (ids & -nl) | nl
+            # ancestor probe: input at least as fine as this covering level
+            fine = lsb_in <= nl
+            parents = np.where(fine, (ids & -nl) | nl, np.int64(0))
             left = np.searchsorted(cells, parents, side="left")
             right = np.searchsorted(cells, parents, side="right")
-            cnt = right - left
+            cnt = np.where(fine, right - left, 0)
+            if two_way:
+                # descendant probe: covering cells inside the input cell's
+                # leaf range (input strictly coarser than this level)
+                coarse = lsb_in > nl
+                rmin = ids - (lsb_in - 1)
+                rmax = ids + (lsb_in - 1)
+                lo = np.searchsorted(cells, rmin, side="left")
+                hi = np.searchsorted(cells, rmax, side="right")
+                cnt = cnt + np.where(coarse, hi - lo, 0)
+                left = np.where(fine, left, lo)
             nz = np.nonzero(cnt)[0]
             if nz.size == 0:
                 continue
@@ -189,11 +207,12 @@ def candidate_match_kernel(
     points_df: DataFrame,
     coverings: list[RegionCovering],
     cell_col: str = "cell_id",
+    two_way: bool = False,
 ) -> DataFrame:
     """Map-only candidate generation: returns points columns +
     (region_id, is_interior), like candidate_join, without the explode."""
     spark = points_df.sparkSession
-    match, region_ids = covering_match_udf(coverings)
+    match, region_ids = covering_match_udf(coverings, two_way=two_way)
     mapping = spark.createDataFrame(
         [(i, rid) for i, rid in enumerate(region_ids)], ["_ridx", "region_id"]
     )

@@ -177,6 +177,69 @@ def from_signed(signed) -> np.ndarray:
     return signed.view(np.uint64) ^ _U64(_SIGN)
 
 
+def from_face_ij_wrap_vec(face, i, j) -> np.ndarray:
+    """Vectorized fromFaceIJWrap: leaf ids for (face, i, j) coords up to one
+    leaf beyond the face boundary — clamp, project linearly through xyz,
+    land on the adjacent face (mirrors _scalar_from_face_ij_wrap)."""
+    face = np.asarray(face, dtype=np.int64)
+    i = np.clip(np.asarray(i, dtype=np.int64), -1, MAX_SIZE)
+    j = np.clip(np.asarray(j, dtype=np.int64), -1, MAX_SIZE)
+    scale = 1.0 / MAX_SIZE
+    limit = np.nextafter(1.0, 2.0)
+    u = np.clip(scale * (2 * (i - MAX_SIZE // 2) + 1), -limit, limit)
+    v = np.clip(scale * (2 * (j - MAX_SIZE // 2) + 1), -limit, limit)
+    x, y, z = coords.face_uv_to_xyz(face, u, v)
+    nf, nu, nv = coords.xyz_to_face_uv(x, y, z)
+    ni = coords.st_to_ij(0.5 * (nu + 1.0))
+    nj = coords.st_to_ij(0.5 * (nv + 1.0))
+    return from_face_ij(nf, ni, nj)
+
+
+def from_face_ij_same_vec(face, i, j, same) -> np.ndarray:
+    """Vectorized fromFaceIJSame: direct encode where ``same`` (coords in
+    face range), wrap projection elsewhere."""
+    face = np.asarray(face, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    same = np.asarray(same, dtype=bool)
+    out = np.empty(face.shape, dtype=np.uint64)
+    if same.any():
+        out[same] = from_face_ij(face[same], i[same], j[same])
+    w = ~same
+    if w.any():
+        out[w] = from_face_ij_wrap_vec(face[w], i[w], j[w])
+    return out
+
+
+def vertex_neighbors(ids, lvl) -> np.ndarray:
+    """Vectorized appendVertexNeighbors: the (n, 4) neighbors at level
+    ``lvl`` (< each id's level; scalar or per-row array) around each cell's
+    nearest vertex — the column-kernel form of
+    CellId.append_vertex_neighbors (s2cell_id.d:872-930).  At cube corners
+    (only 3 distinct neighbors) the 4th entry duplicates the first;
+    consumers dedupe."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    lvl = np.broadcast_to(np.asarray(lvl, dtype=np.int64), ids.shape)
+    face, i, j = to_face_ij(ids)
+    halfsize = np.int64(1) << (np.int64(MAX_LEVEL) - (lvl + 1))
+    size = halfsize << 1
+    ihalf = (i & halfsize) != 0
+    ioffset = np.where(ihalf, size, -size)
+    isame = np.where(ihalf, (i + size) < MAX_SIZE, (i - size) >= 0)
+    jhalf = (j & halfsize) != 0
+    joffset = np.where(jhalf, size, -size)
+    jsame = np.where(jhalf, (j + size) < MAX_SIZE, (j - size) >= 0)
+    n0 = parent(ids, lvl)
+    n1 = parent(from_face_ij_same_vec(face, i + ioffset, j, isame), lvl)
+    n2 = parent(from_face_ij_same_vec(face, i, j + joffset, jsame), lvl)
+    n3 = np.where(
+        isame | jsame,
+        parent(from_face_ij_same_vec(face, i + ioffset, j + joffset, isame & jsame), lvl),
+        n0,
+    )
+    return np.stack([n0, n1, n2, n3], axis=1)
+
+
 # ======================================================================
 # Scalar (python int) layer
 # ======================================================================
