@@ -138,6 +138,16 @@ def _q_within_distance(spark, sf_dir):
     return out.select("query_id", "point_id")
 
 
+def _q_within_polyline(spark, sf_dir):
+    from s2geometry_d_spark.operators.distance import within_distance_polyline
+
+    pts = _points(spark, sf_dir)
+    out = within_distance_polyline(
+        pts, demo.POLYLINE_WAYPOINTS, demo.POLYLINE_RADIUS_DEG
+    )
+    return out.select("point_id")
+
+
 def _q_group_bounds(spark, sf_dir):
     from s2geometry_d_spark.operators.distance import group_cap_bounds
 
@@ -236,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn,
         "knn_edges_join": _q_knn_edges,
         "within_distance_join": _q_within_distance,
+        "within_distance_polyline": _q_within_polyline,
         "group_cap_bounds": _q_group_bounds,
         # -- cell-id operators (rows-only; pinned by pytest invariants) --
         "cell_roundtrip": _q_cell_roundtrip,
@@ -524,6 +535,28 @@ WHERE (cos(radians(p.lng))*cos(radians(p.lat)) - q.qx)*(cos(radians(p.lng))*cos(
 """
 
 
+def _within_polyline_sql() -> str:
+    import math as _math
+
+    from s2geometry_d_spark.functions import edgedist
+    from s2geometry_d_spark.s2core.regions import chord2_from_radians
+
+    r2 = chord2_from_radians(_math.radians(demo.POLYLINE_RADIUS_DEG))
+    q_cols = ",\n       ".join(edgedist.xyz_exprs("p.lat", "p.lng", "q"))
+    a_cols = ",\n       ".join(edgedist.xyz_exprs("alat", "alng", "a"))
+    b_cols = ",\n       ".join(edgedist.xyz_exprs("blat", "blng", "b"))
+    inner = (
+        f"SELECT p.point_id, {q_cols},\n       {a_cols},\n       {b_cols}\n"
+        f"FROM points p CROSS JOIN {demo.polyline_edges_values_sql()}"
+    )
+    scored = edgedist.dist2_select_sql(inner, "point_id")
+    return f"""
+WITH points AS ({demo.points_cte()}),
+scored AS ({scored})
+SELECT DISTINCT point_id FROM scored WHERE dist2 <= {r2!r}
+"""
+
+
 def _group_bounds_sql() -> str:
     return f"""
 WITH points AS ({demo.points_cte()}),
@@ -557,6 +590,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pip_cap_join": _pip_cap_sql(),
         "within_distance_join": _within_distance_sql(),
+        "within_distance_polyline": _within_polyline_sql(),
         "group_cap_bounds": _group_bounds_sql(),
         "pip_rect_join": _pip_rect_sql(),
         "pip_poly_join": _pip_poly_sql(),

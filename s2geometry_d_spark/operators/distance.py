@@ -66,6 +66,57 @@ def within_distance_join(
     )
 
 
+def within_distance_polyline(
+    points_df: DataFrame,
+    waypoints: list[tuple[float, float]],
+    radius_deg: float,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    cell_col: str = "cell_id",
+    max_cells: int = 96,
+) -> DataFrame:
+    """Distinct point rows within ``radius_deg`` of the polyline through
+    ``waypoints`` [(lat, lng), ...].
+
+    Plan: cover the BUFFERED polyline region (interior cells = wholly
+    inside the buffer, accepted with no math; boundary cells = exact test),
+    probe candidates with the broadcast covering kernel, then score
+    boundary candidates against the (small, broadcast) edge list with the
+    engine-shared closed-form point-to-edge distance — the same fragment
+    the SQL oracle evaluates.
+    """
+    from ..functions import edgedist
+    from ..s2core.polyline import BufferedRegion, Polyline
+    from .spatial_join import candidate_join_auto
+
+    spark = points_df.sparkSession
+    pl = Polyline.from_latlngs(waypoints)
+    region = BufferedRegion(pl, math.radians(radius_deg))
+    coverings = compute_coverings([("_pl", region)], max_cells=max_cells)
+    cand = candidate_join_auto(points_df, coverings, cell_col=cell_col).drop(
+        "region_id"
+    )
+
+    edge_rows = [
+        (float(waypoints[i][0]), float(waypoints[i][1]),
+         float(waypoints[i + 1][0]), float(waypoints[i + 1][1]))
+        for i in range(len(waypoints) - 1)
+    ]
+    edges = spark.createDataFrame(edge_rows, ["alat", "alng", "blat", "blng"])
+
+    scored = cand.crossJoin(F.broadcast(edges))
+    for expr in edgedist.xyz_exprs(lat_col, lng_col, "q"):
+        scored = scored.selectExpr("*", expr)
+    for expr in edgedist.xyz_exprs("alat", "alng", "a"):
+        scored = scored.selectExpr("*", expr)
+    for expr in edgedist.xyz_exprs("blat", "blng", "b"):
+        scored = scored.selectExpr("*", expr)
+    scored = edgedist.with_dist2(scored)
+    r2 = chord2_from_radians(math.radians(radius_deg))
+    hits = scored.filter(F.col("is_interior") | (F.col("dist2") <= F.lit(r2)))
+    return hits.select(*points_df.columns).distinct()
+
+
 def group_cap_bounds(
     points_df: DataFrame,
     group_col: str,

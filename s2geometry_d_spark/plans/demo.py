@@ -173,6 +173,28 @@ WHERE e.nx*s.px + e.ny*s.py + e.nz*s.pz > 0
 """
 
 
+# -- polyline fixture (a Paris -> Tokyo "route") ---------------------------
+POLYLINE_WAYPOINTS = [
+    (48.85, 2.35),
+    (52.52, 13.41),
+    (55.75, 37.62),
+    (51.17, 71.43),
+    (43.25, 76.95),
+    (39.90, 116.40),
+    (31.23, 121.47),
+    (35.68, 139.69),
+]
+POLYLINE_RADIUS_DEG = 6.0
+
+
+def polyline_edges_values_sql() -> str:
+    rows = ", ".join(
+        f"({a!r}, {b!r}, {c!r}, {d!r})"
+        for (a, b), (c, d) in zip(POLYLINE_WAYPOINTS, POLYLINE_WAYPOINTS[1:])
+    )
+    return f"(VALUES {rows}) AS e(alat, alng, blat, blng)"
+
+
 def knn_queries() -> list[tuple[str, float, float]]:
     return [
         ("q1", 48.85, 2.35),

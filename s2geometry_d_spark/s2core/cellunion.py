@@ -217,6 +217,51 @@ def maximum_tile(cid: int, limit: int) -> int:
     return c.id
 
 
+def expand_at_level(ids: list[int], expand_level: int) -> list[int]:
+    """Expand a normalized union so it contains everything within the width
+    of level-``expand_level`` cells: cells finer than expand_level coarsen
+    to their expand_level parent, then every cell's all-neighbors at
+    expand_level are added (s2cell_union.d Expand(int), :516-540)."""
+    from .cellid import CellId
+
+    out: list[int] = []
+    level_lsb = 1 << (2 * (30 - expand_level))
+    i = len(ids) - 1
+    while i >= 0:
+        cid = CellId(ids[i])
+        if cid.lsb() < level_lsb:
+            cid = cid.parent(expand_level)
+            # skip siblings already covered by this parent
+            while i > 0 and CellId(ids[i - 1]).parent(expand_level) == cid:
+                i -= 1
+        out.append(cid.id)
+        out.extend(n.id for n in cid.append_all_neighbors(max(expand_level, cid.level())))
+        i -= 1
+    return normalize(out)
+
+
+def expand_by_radius(
+    ids: list[int], min_radius_radians: float, max_level_diff: int = 0
+) -> list[int]:
+    """Buffered covering: expand the union so it contains all points within
+    ``min_radius_radians`` of it (s2cell_union.d Expand(S1Angle),
+    :541-560).  ``max_level_diff`` bounds how much finer than the union's
+    coarsest cell the expansion cells may be (0 = same level: fastest,
+    coarsest result)."""
+    from . import metrics
+    from .cellid import CellId
+
+    if not ids:
+        return []
+    min_level = min(CellId(c).level() for c in ids)
+    radius_level = metrics.MIN_WIDTH.get_level_for_min_value(min_radius_radians)
+    if radius_level == 0 and min_radius_radians > metrics.MIN_WIDTH.get_value(0):
+        # radius wider than a face cell: two face-level expansions
+        ids = expand_at_level(ids, 0)
+        return expand_at_level(ids, 0)
+    return expand_at_level(ids, min(min_level + max_level_diff, radius_level))
+
+
 def leaf_count(ids: list[int]) -> int:
     """Number of leaf cells covered; lsb(id) == 4^(30-level) == leaves."""
     return sum(_lsb(c) for c in ids)
