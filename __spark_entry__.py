@@ -235,6 +235,10 @@ def _q_ann_lsh(spark, sf_dir):
     return similarity.cosine_topk_lsh(_embeddings(spark, sf_dir))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    return similarity.cosine_topk_ivf(_embeddings(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- spatial joins (SQL-oracled) --------------------------------
@@ -256,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_verify": _q_image_verify,
         "image_features": _q_image_features,
         "ann_cosine_lsh": _q_ann_lsh,
+        "ann_cosine_ivf": _q_ann_ivf,
         # -- training-data pipeline ops (SQL-oracled) ---------------------
         # exact dedup over a corpus with injected duplicates (the raw
         # documents table has none, which would test nothing)

@@ -2,9 +2,15 @@
 
 * brute-force cosine top-k — the correctness baseline: native
   ``zip_with``/``aggregate`` dot products (JVM-side, no Python);
-* LSH-bucketed variant — deterministic random-hyperplane signatures reduce
-  the candidate set; the scale path for 10^12 rows (bucket equi-join
-  instead of a cross join).
+* banded multi-table LSH — T tables x r hyperplane bits; candidates are
+  the union of the query's buckets across tables (recall compounds as
+  1-(1-p^r)^T), with a bucket-size cap against degenerate corpora;
+* IVF — spherical k-means coarse quantizer trained on a driver-side
+  sample, map-only cluster assignment, nprobe-cluster candidate lists.
+
+Both ANN variants generate candidates with BROADCAST joins against the
+tiny query side — the corpus is never shuffled — and both are pinned by
+recall@k tests against the brute-force oracle (tests/test_similarity.py).
 
 Scores are rounded before ranking so result order is reproducible across
 engines (float sums may differ in the last ulp between systems).
@@ -12,8 +18,11 @@ engines (float sums may differ in the last ulp between systems).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 ROUND_DIGITS = 6
 
@@ -62,40 +71,187 @@ def cosine_topk_bruteforce(
     )
 
 
-def hyperplane_signatures(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
-    """Deterministic LSH: plane p has components sin((i+1)*(p+1)) over dims i
-    (pseudo-random, engine-reproducible); signature bit = dot >= 0."""
-    sig = None
-    for p in range(n_planes):
-        dot = F.aggregate(
+LSH_TABLES = 12
+LSH_PLANES = 4  # bits per table -> 16 buckets/table
+LSH_BUCKET_CAP = 100_000  # drop pathologically hot buckets before pairing
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame, tables: int = LSH_TABLES, planes: int = LSH_PLANES
+) -> DataFrame:
+    """Banded multi-table LSH: table t's bucket is the ``planes``-bit sign
+    signature against deterministic pseudo-random hyperplanes (component i
+    of plane p = sin((i+1)*(p+1)*0.7391), engine-reproducible).
+
+    Returns one row per (vec, table): (vec_id, embedding, tbl, bucket) —
+    the banded structure fixes the single-table skew problem: each table
+    has 2^planes buckets and a vector collides with a true neighbor in ANY
+    table, so recall compounds as 1-(1-p^planes)^tables while candidate
+    sets stay bucket-sized."""
+    def _plane_dot(p: int):
+        scale = float((p + 1) * 0.7391)
+        return F.aggregate(
             F.zip_with(
                 F.col("embedding"),
                 F.sequence(F.lit(1), F.size("embedding")),
-                lambda x, i: x.cast("double") * F.sin(i.cast("double") * float(p + 1)),
+                lambda x, i: x.cast("double") * F.sin(i.cast("double") * scale),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        sig = bit if sig is None else (sig + bit)
-    return embeddings.select("vec_id", "embedding", sig.cast("int").alias("bucket"))
+
+    rows = []
+    for t in range(tables):
+        sig = None
+        for j in range(planes):
+            bit = F.when(_plane_dot(t * planes + j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            sig = bit if sig is None else (sig + bit)
+        rows.append(F.struct(F.lit(t).alias("tbl"), sig.cast("int").alias("bucket")))
+    return embeddings.select(
+        "vec_id", "embedding", F.explode(F.array(*rows)).alias("tb")
+    ).select("vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
 
 def cosine_topk_lsh(
-    embeddings: DataFrame, n_queries: int = 8, k: int = 5, n_planes: int = 6
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
-    """ANN top-k: candidates restricted to the query's LSH bucket (plus
-    brute-force fallback is NOT applied — this is the approximate variant)."""
-    sigs = hyperplane_signatures(embeddings, n_planes)
+    """ANN top-k via banded multi-table LSH.
+
+    100 TB plan shape: signatures are one map pass (T struct columns +
+    explode); candidate generation is a BROADCAST semi-join against the
+    query side's (tbl, bucket) set — the corpus is never shuffled; a
+    bucket histogram (one map-side-combined aggregate, tiny output) drops
+    hot buckets above ``bucket_cap`` so a degenerate corpus cannot go
+    quadratic.  Exact cosine + window top-k run on candidates only.
+    Recall is pinned by tests/test_similarity.py against the brute-force
+    oracle."""
+    sigs = hyperplane_signatures(embeddings, tables, planes)
+    hot = (
+        sigs.groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("tbl", "bucket")
+    )
+    sigs = sigs.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
     q = sigs.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        F.col("bucket"),
+        "tbl",
+        "bucket",
     )
-    cand = sigs.select(F.col("vec_id").alias("neighbor_id"), "embedding", "bucket").join(
-        F.broadcast(q), "bucket"
+    cand = (
+        sigs.select(F.col("vec_id").alias("neighbor_id"), "embedding", "tbl", "bucket")
+        .join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("qv"))
+        / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
+        ROUND_DIGITS,
+    )
+    scored = cand.withColumn("sim", sim)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+# ---------------------------------------------------------------- IVF
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, sample: int = 4096, iters: int = 10
+) -> list[list[float]]:
+    """Spherical k-means on a driver-side sample (deterministic seed) — the
+    FAISS-style coarse quantizer training step.  At 100 TB the sample is a
+    tiny fixed-size pull; training cost is independent of corpus size."""
+
+
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample)
+        .toPandas()["embedding"]
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(42)
+    C = X[rng.choice(X.shape[0], n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        a = np.argmax(X @ C.T, axis=1)
+        for c in range(n_centroids):
+            m = a == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+                C[c] /= max(np.linalg.norm(C[c]), 1e-30)
+    return [list(map(float, row)) for row in C]
+
+
+def _centroid_assign_udf(centroids: list[list[float]]):
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(emb: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 6,
+) -> DataFrame:
+    """ANN top-k via IVF (inverted file): train a coarse quantizer on a
+    driver sample, assign every vector to its nearest centroid (one Arrow
+    map pass), then probe each query's ``nprobe`` nearest centroid lists.
+
+    100 TB plan shape: assignment is map-only; the query->probe-cluster
+    set is tiny and broadcast, so candidate generation is a broadcast
+    semi-join (no corpus shuffle); exact cosine + top-k on candidates."""
+    centroids = train_ivf_centroids(embeddings, n_centroids)
+    assign = _centroid_assign_udf(centroids)
+    assigned = embeddings.withColumn("cluster", assign(F.col("embedding")))
+
+
+
+    C = np.asarray(centroids)
+    qrows = (
+        assigned.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    probe_rows = []
+    for _, r in qrows.iterrows():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        v /= max(np.linalg.norm(v), 1e-30)
+        top = np.argsort(-(C @ v))[:nprobe]
+        probe_rows.extend((int(r.vec_id), int(c)) for c in top)
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(probe_rows, ["query_id", "cluster"])
+
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = (
+        assigned.select(F.col("vec_id").alias("neighbor_id"), "embedding", "cluster")
+        .join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     sim = F.round(
         _dot(F.col("embedding"), F.col("qv"))
         / (_norm(F.col("embedding")) * _norm(F.col("qv"))),
