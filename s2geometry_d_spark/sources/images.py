@@ -56,6 +56,14 @@ def fake_pixels(seed: int) -> np.ndarray:
     return ((v >> np.uint32(16)) & np.uint32(0xFF)).astype(np.uint8)
 
 
+def fake_pixels_batch(seeds: np.ndarray) -> np.ndarray:
+    """(n, H, W, 3) reference renders for a whole batch of seeds — the
+    batched form of fake_pixels (identical values)."""
+    s = seeds.astype(np.uint32)[:, None, None, None]
+    v = (s * np.uint32(2654435761) + _YXC[None, ...]) * np.uint32(2246822519)
+    return ((v >> np.uint32(16)) & np.uint32(0xFF)).astype(np.uint8)
+
+
 def fake_encode(pixels: np.ndarray, fmt: str) -> bytes:
     """Stub codec: 8-byte header + raw (png) or coarsely-quantized (jpeg)
     pixel payload.  NOT a real codec — marked clearly; see module docstring."""
