@@ -126,6 +126,20 @@ def _q_knn_edges(spark, sf_dir):
     return res.select("query_id", "rank", "edge_id")
 
 
+def _crossing_targets():
+    wp = demo.POLYLINE_WAYPOINTS
+    return [(f"t{i}", wp[i], wp[i + 1]) for i in range(len(wp) - 1)]
+
+
+def _q_crossing_edges(spark, sf_dir):
+    """Which data edges properly cross the route polyline's edges."""
+    from s2geometry_d_spark.operators.crossing import crossing_edges_join
+
+    e = _edges(spark, sf_dir)
+    out = crossing_edges_join(e, _crossing_targets())
+    return out.select("target_id", "edge_id")
+
+
 WITHIN_QUERIES = [("q1", 48.85, 2.35), ("q2", -33.86, 151.21), ("q3", 10.0, 179.9)]
 WITHIN_RADIUS = 8.0
 
@@ -161,6 +175,15 @@ def _q_group_bounds(spark, sf_dir):
         F.round("cz", 6).alias("cz"),
         F.round("max_chord2", 6).alias("max_chord2"),
     )
+
+
+def _q_group_rect_bounds(spark, sf_dir):
+    from s2geometry_d_spark.operators.distance import group_rect_bounds
+
+    pts = _points(spark, sf_dir).withColumn(
+        "band", F.floor(F.col("lat") / 15.0).cast("long")
+    )
+    return group_rect_bounds(pts, "band")
 
 
 def _q_cell_roundtrip(spark, sf_dir):
@@ -201,6 +224,29 @@ def _q_cell_partition_stats(spark, sf_dir):
         .groupBy("parent5")
         .agg(F.count("*").alias("n_points"))
         .select(kernels.cell_token(F.col("parent5")).alias("cell_token"), "n_points")
+    )
+
+
+def _q_cell_area_stats(spark, sf_dir):
+    """Area-weighted aggregate: per level-5 ancestor cell, point count,
+    exact cell area (steradians) and point density.  Cell-id-dependent ->
+    rows-only check; areas pinned by tests/test_cell_areas.py invariants
+    (face sum = 4*pi, children sum = parent)."""
+    pts = _points(spark, sf_dir)
+    return (
+        pts.withColumn("parent5", kernels.parent_signed(F.col("cell_id"), 5))
+        .groupBy("parent5")
+        .agg(F.count("*").alias("n_points"))
+        .withColumn("area_sr", F.round(kernels.cell_exact_area(F.col("parent5")), 12))
+        .withColumn(
+            "density", F.round(F.col("n_points") / F.col("area_sr"), 6)
+        )
+        .select(
+            kernels.cell_token(F.col("parent5")).alias("cell_token"),
+            "n_points",
+            "area_sr",
+            "density",
+        )
     )
 
 
@@ -249,13 +295,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_antijoin": _q_spatial_antijoin,
         "knn_join": _q_knn,
         "knn_edges_join": _q_knn_edges,
+        "crossing_edges_join": _q_crossing_edges,
         "within_distance_join": _q_within_distance,
         "within_distance_polyline": _q_within_polyline,
         "group_cap_bounds": _q_group_bounds,
+        "group_rect_bounds": _q_group_rect_bounds,
         # -- cell-id operators (rows-only; pinned by pytest invariants) --
         "cell_roundtrip": _q_cell_roundtrip,
         "covering_cells": _q_covering_cells,
         "cell_partition_stats": _q_cell_partition_stats,
+        "cell_area_stats": _q_cell_area_stats,
         "tile_assignment": _q_tile_assignment,
         "image_verify": _q_image_verify,
         "image_features": _q_image_features,
@@ -372,6 +421,59 @@ SELECT query_id, rank, edge_id FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, edge_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+
+def _crossing_edges_sql() -> str:
+    """Proper great-circle segment crossing in det-product form: with
+    s1=det(A,B,C), s2=det(A,B,D), s3=det(C,D,A), s4=det(C,D,B), crossing
+    iff s1*s2 < 0 AND s2*s3 > 0 AND s3*s4 < 0 (all four orientation signs
+    equal and nonzero — the same condition crossingSign evaluates; exact
+    only in generic position, which random fixtures are)."""
+    from s2geometry_d_spark.functions import edgedist
+    from s2geometry_d_spark.s2core.regions import latlng_point
+
+    a_cols = ",\n       ".join(edgedist.xyz_exprs("alat", "alng", "a"))
+    b_cols = ",\n       ".join(edgedist.xyz_exprs("blat", "blng", "b"))
+
+    def det_sql(c):
+        # det(A, B, c) with A=(ax..), B=(bx..) columns and c literal
+        return (
+            f"((ay*bz - az*by)*({c[0]!r}) + (az*bx - ax*bz)*({c[1]!r})"
+            f" + (ax*by - ay*bx)*({c[2]!r}))"
+        )
+
+    def det_cd_sql(c, d, px, py, pz):
+        # det(c, d, P) with c,d literals and P a column triple
+        nx = c[1] * d[2] - c[2] * d[1]
+        ny = c[2] * d[0] - c[0] * d[2]
+        nz = c[0] * d[1] - c[1] * d[0]
+        return f"(({nx!r})*{px} + ({ny!r})*{py} + ({nz!r})*{pz})"
+
+    pieces = []
+    for tid, (la, ln), (lb, lnb) in _crossing_targets():
+        c = latlng_point(la, ln)
+        d = latlng_point(lb, lnb)
+        s1 = det_sql(c)
+        s2 = det_sql(d)
+        s3 = det_cd_sql(c, d, "ax", "ay", "az")
+        s4 = det_cd_sql(c, d, "bx", "by", "bz")
+        pieces.append(
+            f"SELECT '{tid}' AS target_id, edge_id FROM exyz WHERE "
+            f"({s1})*({s2}) < 0 AND ({s2})*({s3}) > 0 AND ({s3})*({s4}) < 0"
+        )
+    union = "\nUNION ALL\n".join(pieces)
+    return f"""
+WITH points AS ({demo.points_cte()}),
+edges_all AS (
+  SELECT point_id AS edge_id, lat AS alat, lng AS alng,
+         lead(lat) OVER ({_EDGE_ORDER}) AS blat,
+         lead(lng) OVER ({_EDGE_ORDER}) AS blng
+  FROM points
+),
+e AS (SELECT * FROM edges_all WHERE blat IS NOT NULL),
+exyz AS (SELECT edge_id, {a_cols}, {b_cols} FROM e)
+{union}
 """
 
 
@@ -562,6 +664,38 @@ SELECT DISTINCT point_id FROM scored WHERE dist2 <= {r2!r}
 """
 
 
+def _group_rect_bounds_sql() -> str:
+    return f"""
+WITH points AS ({demo.points_cte()}),
+x AS (SELECT CAST(floor(lat / 15e0) AS BIGINT) AS band, lat, lng FROM points),
+s AS (
+  SELECT band, lat, lng,
+         lead(lng) OVER (PARTITION BY band ORDER BY lng ASC, lat ASC) AS nxt,
+         min(lng) OVER (PARTITION BY band) AS mn
+  FROM x
+),
+g AS (
+  SELECT band, lat, lng,
+         coalesce(nxt, mn + 360e0) - lng AS gap,
+         coalesce(nxt, mn) AS b
+  FROM s
+),
+best AS (
+  SELECT band, b, lng,
+         row_number() OVER (PARTITION BY band ORDER BY gap DESC, lng ASC) AS rn
+  FROM g
+),
+lats AS (
+  SELECT band, count(*) AS n_points,
+         round(min(lat), 6) AS lat_lo, round(max(lat), 6) AS lat_hi
+  FROM x GROUP BY band
+)
+SELECT l.band, l.n_points, l.lat_lo, l.lat_hi,
+       round(best.b, 6) AS lng_lo, round(best.lng, 6) AS lng_hi
+FROM lats l JOIN best ON best.band = l.band AND best.rn = 1
+"""
+
+
 def _group_bounds_sql() -> str:
     return f"""
 WITH points AS ({demo.points_cte()}),
@@ -597,12 +731,14 @@ def oracle_sql() -> dict[str, str]:
         "within_distance_join": _within_distance_sql(),
         "within_distance_polyline": _within_polyline_sql(),
         "group_cap_bounds": _group_bounds_sql(),
+        "group_rect_bounds": _group_rect_bounds_sql(),
         "pip_rect_join": _pip_rect_sql(),
         "pip_poly_join": _pip_poly_sql(),
         "pip_bigpoly_join": _pip_bigpoly_sql(),
         "spatial_antijoin": _spatial_antijoin_sql(),
         "knn_join": _knn_sql(),
         "knn_edges_join": _knn_edges_sql(),
+        "crossing_edges_join": _crossing_edges_sql(),
         "dedup_exact": (
             "WITH corpus AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents) "

@@ -98,6 +98,20 @@ def cell_level(cell_signed: pd.Series) -> pd.Series:
     return pd.Series(ci.level(ids).astype(np.int32))
 
 
+@F.pandas_udf(T.DoubleType())
+def cell_exact_area(cell_signed: pd.Series) -> pd.Series:
+    """Exact spherical cell area (steradians) — vectorized column kernel."""
+    ids = ci.from_signed(cell_signed.to_numpy(dtype=np.int64))
+    return pd.Series(ci.cells_exact_area(ids))
+
+
+@F.pandas_udf(T.DoubleType())
+def cell_avg_area(cell_signed: pd.Series) -> pd.Series:
+    """AVG_AREA metric for each cell's level."""
+    ids = ci.from_signed(cell_signed.to_numpy(dtype=np.int64))
+    return pd.Series(ci.cells_average_area(ids))
+
+
 def xyz_columns(df, lat_col: str = "lat", lng_col: str = "lng", prefix: str = ""):
     """Attach unit-vector columns px/py/pz via native trig expressions —
     keeps chord-distance predicates fully inside Catalyst codegen."""

@@ -117,6 +117,53 @@ def within_distance_polyline(
     return hits.select(*points_df.columns).distinct()
 
 
+def group_rect_bounds(
+    points_df: DataFrame,
+    group_col: str,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Per-group lat/lng rect bound with WRAPAROUND-aware longitude: the
+    minimal circular lng interval is the complement of the largest gap
+    between consecutive sorted longitudes (including the wrap gap).  The
+    reference analogue is S2LatLngRectBounder over a point set
+    (s2latlng_rect_bounder.d) — for points (not edges) the gap construction
+    is exact.
+
+    Plan: one window pass (sort within group) + one aggregate — both
+    shuffle on the group key only.  Returns
+    (group, n_points, lat_lo, lat_hi, lng_lo, lng_hi) in degrees."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(lng_col).asc(), F.col(lat_col).asc())
+    wg = Window.partitionBy(group_col)
+    s = (
+        points_df.select(group_col, lat_col, lng_col)
+        .withColumn("_nxt", F.lead(lng_col).over(w))
+        .withColumn("_mn", F.min(lng_col).over(wg))
+        .withColumn("_gap", F.coalesce(F.col("_nxt"), F.col("_mn") + 360.0) - F.col(lng_col))
+        .withColumn("_b", F.coalesce(F.col("_nxt"), F.col("_mn")))
+    )
+    wr = Window.partitionBy(group_col).orderBy(F.col("_gap").desc(), F.col(lng_col).asc())
+    best = (
+        s.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .select(
+            group_col,
+            F.round(F.col("_b"), 6).alias("lng_lo"),
+            F.round(F.col(lng_col), 6).alias("lng_hi"),
+        )
+    )
+    lat_agg = points_df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.min(lat_col), 6).alias("lat_lo"),
+        F.round(F.max(lat_col), 6).alias("lat_hi"),
+    )
+    return lat_agg.join(best, group_col).select(
+        group_col, "n_points", "lat_lo", "lat_hi", "lng_lo", "lng_hi"
+    )
+
+
 def group_cap_bounds(
     points_df: DataFrame,
     group_col: str,

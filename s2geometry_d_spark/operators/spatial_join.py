@@ -288,7 +288,7 @@ def _cell_index(poly: Polygon, max_edges_per_cell: int) -> PolygonCellIndex:
     return cache[max_edges_per_cell]
 
 
-def _polygon_pip_udf(indexes: dict[str, PolygonCellIndex]):
+def _polygon_pip_udf(indexes: dict[str, PolygonCellIndex], vertex_model: str = "semi_open"):
     """Arrow-batched exact PIP for boundary candidates via the per-cell
     clipped-edge index: each candidate point counts crossings from ITS OWN
     boundary cell's center against only that cell's <= max_edges_per_cell
@@ -354,7 +354,17 @@ def _polygon_pip_udf(indexes: dict[str, PolygonCellIndex]):
                     counts = pred.crossings_with_fixed_edges(
                         center[0], center[1], center[2], x[g], y[g], z[g], edge_list
                     )
-                    res[g] = ((counts & 1).astype(bool)) ^ c_bit
+                    r = ((counts & 1).astype(bool)) ^ c_bit
+                    if vertex_model != "semi_open":
+                        # a polygon vertex inside this cell is necessarily an
+                        # endpoint of one of its clipped edges
+                        from ..s2core.loops import _apply_vertex_model
+
+                        verts = {v for e in edge_list for v in e}
+                        r = _apply_vertex_model(
+                            r, x[g], y[g], z[g], verts, vertex_model
+                        )
+                    res[g] = r
                 out[m] = res
         return pd.Series(out)
 
@@ -369,6 +379,7 @@ def points_in_regions(
     cell_col: str = "cell_id",
     max_cells: int = 64,
     max_edges_per_cell: int = 16,
+    vertex_model: str = "semi_open",
 ) -> DataFrame:
     """Full PIP join: returns points rows + region_id for every containment.
 
@@ -418,7 +429,7 @@ def points_in_regions(
             lng_ok = (lng_r >= F.lit(rect.lng.lo)) & (lng_r <= F.lit(rect.lng.hi))
         accept = accept | ((F.col("region_id") == rid) & lat_ok & lng_ok)
     if polys:
-        pip = _polygon_pip_udf(poly_indexes)
+        pip = _polygon_pip_udf(poly_indexes, vertex_model=vertex_model)
         accept = accept | (
             F.col("region_id").isin(list(polys))
             & pip(F.col("region_id"), F.col(cell_col), F.col(lat_col), F.col(lng_col))

@@ -240,6 +240,94 @@ def vertex_neighbors(ids, lvl) -> np.ndarray:
     return np.stack([n0, n1, n2, n3], axis=1)
 
 
+def cells_vertices(ids) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(n, 4, 3) unit vertices per cell, CCW — vectorized from the uv
+    bounds; arranged as (x, y, z) arrays of shape (n, 4)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    face, i, j = to_face_ij(ids)
+    lvl = level(ids)
+    size = (np.int64(1) << (np.int64(MAX_LEVEL) - lvl)).astype(np.int64)
+    ilo = i & -size
+    jlo = j & -size
+    scale = 1.0 / MAX_SIZE
+    u_lo = coords.st_to_uv(scale * ilo)
+    u_hi = coords.st_to_uv(scale * (ilo + size))
+    v_lo = coords.st_to_uv(scale * jlo)
+    v_hi = coords.st_to_uv(scale * (jlo + size))
+    # CCW vertex order: (u0,v0),(u1,v0),(u1,v1),(u0,v1)
+    us = np.stack([u_lo, u_hi, u_hi, u_lo], axis=1)
+    vs = np.stack([v_lo, v_lo, v_hi, v_hi], axis=1)
+    f4 = np.repeat(face, 4)
+    x, y, z = coords.face_uv_to_xyz(f4, us.reshape(-1), vs.reshape(-1))
+    n = np.sqrt(x * x + y * y + z * z)
+    return (
+        (x / n).reshape(-1, 4),
+        (y / n).reshape(-1, 4),
+        (z / n).reshape(-1, 4),
+    )
+
+
+def _tri_area_vec(ax, ay, az, bx, by, bz, cx, cy, cz) -> np.ndarray:
+    """|signed spherical triangle excess| = |2 atan2(det, 1+ab+bc+ca)|."""
+    det = (
+        ax * (by * cz - bz * cy)
+        + ay * (bz * cx - bx * cz)
+        + az * (bx * cy - by * cx)
+    )
+    denom = (
+        1.0
+        + (ax * bx + ay * by + az * bz)
+        + (bx * cx + by * cy + bz * cz)
+        + (cx * ax + cy * ay + cz * az)
+    )
+    return np.abs(2.0 * np.arctan2(det, denom))
+
+
+def cells_exact_area(ids) -> np.ndarray:
+    """Exact spherical area per cell (two triangle excesses), vectorized —
+    the column-kernel form of Cell.exact_area (s2cell.d:268-292)."""
+    x, y, z = cells_vertices(ids)
+    return _tri_area_vec(
+        x[:, 0], y[:, 0], z[:, 0], x[:, 1], y[:, 1], z[:, 1], x[:, 2], y[:, 2], z[:, 2]
+    ) + _tri_area_vec(
+        x[:, 0], y[:, 0], z[:, 0], x[:, 2], y[:, 2], z[:, 2], x[:, 3], y[:, 3], z[:, 3]
+    )
+
+
+def cells_average_area(ids) -> np.ndarray:
+    """AVG_AREA metric per cell's level, vectorized."""
+    from . import metrics
+
+    return np.ldexp(metrics.AVG_AREA.deriv, (-2 * level(ids)).astype(np.int32))
+
+
+def expanded_by_distance_uv(
+    uv: tuple[tuple[float, float], tuple[float, float]], distance_radians: float
+) -> tuple[tuple[float, float], tuple[float, float]]:
+    """Expand a face uv rect so it contains all points within ``distance``
+    of the original (buffered tile bounds; semantics studied from
+    s2cell_id.d:243-274 expandedByDistanceUV / expandEndpoint — spherical
+    right-triangle construction, re-expressed).  Distance must be < 45deg
+    (a face plane covers at most one hemisphere); negative distances shrink
+    conservatively."""
+    import math
+
+    (u0, u1), (v0, v1) = uv
+    max_u = max(abs(u0), abs(u1))
+    max_v = max(abs(v0), abs(v1))
+    sin_dist = math.sin(distance_radians)
+
+    def expand_endpoint(u: float, mv: float, sd: float) -> float:
+        sin_shift = sd * math.sqrt((1.0 + u * u + mv * mv) / (1.0 + u * u))
+        cos_shift = math.sqrt(max(0.0, 1.0 - sin_shift * sin_shift))
+        return (cos_shift * u + sin_shift) / (cos_shift - sin_shift * u)
+
+    return (
+        (expand_endpoint(u0, max_v, -sin_dist), expand_endpoint(u1, max_v, sin_dist)),
+        (expand_endpoint(v0, max_u, -sin_dist), expand_endpoint(v1, max_u, sin_dist)),
+    )
+
+
 # ======================================================================
 # Scalar (python int) layer
 # ======================================================================

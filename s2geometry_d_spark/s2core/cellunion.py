@@ -262,6 +262,28 @@ def expand_by_radius(
     return expand_at_level(ids, min(min_level + max_level_diff, radius_level))
 
 
+def exact_area(ids: list[int]) -> float:
+    """Sum of exact cell areas (s2cell_union.d:566-606 ExactArea)."""
+    import numpy as np
+
+    from . import cellid
+
+    if not ids:
+        return 0.0
+    return float(cellid.cells_exact_area(np.array(ids, dtype=np.uint64)).sum())
+
+
+def average_area(ids: list[int]) -> float:
+    """Sum of AVG_AREA metric values (AverageBasedArea)."""
+    import numpy as np
+
+    from . import cellid
+
+    if not ids:
+        return 0.0
+    return float(cellid.cells_average_area(np.array(ids, dtype=np.uint64)).sum())
+
+
 def leaf_count(ids: list[int]) -> int:
     """Number of leaf cells covered; lsb(id) == 4^(30-level) == leaves."""
     return sum(_lsb(c) for c in ids)

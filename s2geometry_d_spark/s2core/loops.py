@@ -21,6 +21,18 @@ from .cellid import CellId
 from .regions import Cap, Cell, chord2_between, latlng_point, normalize
 
 
+def _apply_vertex_model(out, x, y, z, vertices, model: str):
+    """Override containment for points exactly equal to a vertex: OPEN
+    excludes them, CLOSED includes them (exact float equality — on-vertex
+    queries are exact by construction, reference tests likewise)."""
+    closed = model == "closed"
+    for v in vertices:
+        m = (x == v[0]) & (y == v[1]) & (z == v[2])
+        if m.any():
+            out = np.where(m, closed, out)
+    return out
+
+
 class Loop:
     def __init__(self, vertices: list[tuple]):
         """vertices: list of unit xyz tuples, implicitly closed, CCW interior."""
@@ -64,17 +76,27 @@ class Loop:
             self.origin_inside = True
 
     # -- containment -----------------------------------------------------
-    def contains_point(self, p) -> bool:
+    def contains_point(self, p, model: str = "semi_open") -> bool:
+        """Vertex models (s2contains_point_query.d:50-72): for OPEN/CLOSED a
+        point equal to a loop VERTEX is decided by the model directly;
+        SEMI_OPEN (default) uses edge-or-vertex crossing parity, which
+        contains each boundary point exactly once between adjacent loops."""
+        pt = tuple(p)
+        if model != "semi_open" and pt in set(self.vertices):
+            return model == "closed"
         inside = self.origin_inside
         for c, d in self.edges():
-            inside ^= pred.edge_or_vertex_crossing(pred.ORIGIN, tuple(p), c, d)
+            inside ^= pred.edge_or_vertex_crossing(pred.ORIGIN, pt, c, d)
         return inside
 
-    def contains_points_vec(self, x, y, z) -> np.ndarray:
+    def contains_points_vec(self, x, y, z, model: str = "semi_open") -> np.ndarray:
         counts = pred.crossings_with_fixed_edges(
             pred.ORIGIN[0], pred.ORIGIN[1], pred.ORIGIN[2], x, y, z, self.edges()
         )
-        return (counts & 1).astype(bool) ^ self.origin_inside
+        out = (counts & 1).astype(bool) ^ self.origin_inside
+        if model != "semi_open":
+            out = _apply_vertex_model(out, x, y, z, self.vertices, model)
+        return out
 
 
 class Polygon:
@@ -93,24 +115,33 @@ class Polygon:
     def num_edges(self) -> int:
         return len(self._all_edges)
 
+    def all_vertices(self) -> list[tuple]:
+        return [v for lp in self.loops for v in lp.vertices]
+
     # -- point containment ---------------------------------------------------
-    def contains_point(self, p) -> bool:
+    def contains_point(self, p, model: str = "semi_open") -> bool:
+        pt = tuple(p)
+        if model != "semi_open" and pt in set(self.all_vertices()):
+            return model == "closed"
         inside = self._base_parity
         for c, d in self._all_edges:
-            inside ^= pred.edge_or_vertex_crossing(pred.ORIGIN, tuple(p), c, d)
+            inside ^= pred.edge_or_vertex_crossing(pred.ORIGIN, pt, c, d)
         return inside
 
-    def contains_points_vec(self, x, y, z) -> np.ndarray:
+    def contains_points_vec(self, x, y, z, model: str = "semi_open") -> np.ndarray:
         counts = pred.crossings_with_fixed_edges(
             pred.ORIGIN[0], pred.ORIGIN[1], pred.ORIGIN[2], x, y, z, self._all_edges
         )
-        return (counts & 1).astype(bool) ^ self._base_parity
+        out = (counts & 1).astype(bool) ^ self._base_parity
+        if model != "semi_open":
+            out = _apply_vertex_model(out, x, y, z, self.all_vertices(), model)
+        return out
 
-    def contains_latlngs_vec(self, lat_deg, lng_deg) -> np.ndarray:
+    def contains_latlngs_vec(self, lat_deg, lng_deg, model: str = "semi_open") -> np.ndarray:
         from . import coords
 
         x, y, z = coords.latlng_to_xyz(lat_deg, lng_deg)
-        return self.contains_points_vec(x, y, z)
+        return self.contains_points_vec(x, y, z, model)
 
     # -- region predicates for the coverer -----------------------------------
     def _any_edge_crossing(self, cell: Cell) -> bool:

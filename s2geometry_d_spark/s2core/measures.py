@@ -163,6 +163,22 @@ def point_edges_min_dist2(px, py, pz, edges) -> np.ndarray:
     return best
 
 
+def edge_pair_min_dist2(a, b, c, d) -> float:
+    """Min squared-chord distance between edges (a,b) and (c,d): zero when
+    they cross, else the min of the four endpoint-to-other-edge distances
+    (s2edge_distances.d:280-283 semantics, re-expressed)."""
+    from . import predicates as pred
+
+    if pred.crossing_sign(tuple(a), tuple(b), tuple(c), tuple(d)) > 0:
+        return 0.0
+    return min(
+        point_edge_distance2(a, c, d),
+        point_edge_distance2(b, c, d),
+        point_edge_distance2(c, a, b),
+        point_edge_distance2(d, a, b),
+    )
+
+
 def edges_min_chord2_from_point(p, A, B) -> np.ndarray:
     """Min squared-chord distance from ONE point ``p`` (3,) to EACH edge
     (A[i], B[i]); A, B are (k, 3) arrays — the transpose of

@@ -191,6 +191,28 @@ def edge_or_vertex_crossing(a, b, c, d) -> bool:
     return vertex_crossing(a, b, c, d)
 
 
+def compare_distances(x, a, b) -> int:
+    """Sign of d(x,a) - d(x,b), exact: float triage with a conservative
+    error bound, then rational arithmetic on the squared-chord difference
+    (the reference's triage->exact cascade, s2predicates.d:309-397; the SoS
+    stage is unnecessary because equality is a meaningful answer here)."""
+    da = (x[0] - a[0]) ** 2 + (x[1] - a[1]) ** 2 + (x[2] - a[2]) ** 2
+    db = (x[0] - b[0]) ** 2 + (x[1] - b[1]) ** 2 + (x[2] - b[2]) ** 2
+    diff = da - db
+    # |error| <= ~5.5 ulps of the larger magnitude for this expression shape
+    err = 8.0 * DBL_EPSILON * max(da, db)
+    if diff > err:
+        return 1
+    if diff < -err:
+        return -1
+    xf = tuple(Fraction(v) for v in x)
+    af = tuple(Fraction(v) for v in a)
+    bf = tuple(Fraction(v) for v in b)
+    da_e = sum((xf[i] - af[i]) ** 2 for i in range(3))
+    db_e = sum((xf[i] - bf[i]) ** 2 for i in range(3))
+    return _sgn(da_e - db_e)
+
+
 # ---------------------------------------------------------------- vectorized
 
 def triage_sign_vec(det: np.ndarray) -> np.ndarray:
@@ -198,6 +220,47 @@ def triage_sign_vec(det: np.ndarray) -> np.ndarray:
     out = np.zeros(det.shape, dtype=np.int8)
     out[det > MAX_DET_ERROR] = 1
     out[det < -MAX_DET_ERROR] = -1
+    return out
+
+
+def _det_vec(ax, ay, az, bx, by, bz, cx, cy, cz):
+    return (
+        (ay * bz - az * by) * cx
+        + (az * bx - ax * bz) * cy
+        + (ax * by - ay * bx) * cz
+    )
+
+
+def crossing_sign_pairs(A, B, C, D) -> np.ndarray:
+    """Vectorized crossingSign over edge PAIRS: A,B,C,D are (n,3) arrays of
+    edge endpoints; returns int8 (+1 proper crossing, 0 shared vertex,
+    -1 none) — triage with the float error band, exact scalar fallback for
+    uncertain rows (same cascade as the scalar path)."""
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    C = np.asarray(C, dtype=np.float64)
+    D = np.asarray(D, dtype=np.float64)
+    acb = -triage_sign_vec(_det_vec(*A.T, *B.T, *C.T))
+    bda = triage_sign_vec(_det_vec(*A.T, *B.T, *D.T))
+    cbd = -triage_sign_vec(_det_vec(*C.T, *D.T, *B.T))
+    dac = triage_sign_vec(_det_vec(*C.T, *D.T, *A.T))
+    out = np.full(A.shape[0], -1, dtype=np.int8)
+    crossing = (acb != 0) & (acb == bda) & (cbd == acb) & (dac == acb)
+    out[crossing] = 1
+    # shared vertices decide 0 regardless of triage
+    shared = (
+        (A == C).all(axis=1)
+        | (A == D).all(axis=1)
+        | (B == C).all(axis=1)
+        | (B == D).all(axis=1)
+    )
+    out[shared] = 0
+    # uncertain rows (any triage zero, not shared): exact scalar cascade
+    uncertain = (
+        ((acb == 0) | (bda == 0) | (cbd == 0) | (dac == 0)) & ~shared & ~crossing
+    )
+    for i in np.nonzero(uncertain)[0]:
+        out[i] = crossing_sign(tuple(A[i]), tuple(B[i]), tuple(C[i]), tuple(D[i]))
     return out
 
 

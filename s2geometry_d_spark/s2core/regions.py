@@ -156,6 +156,36 @@ class Cell:
             return neg(_VNORM[self.face](self.uv[1][1]))  # top
         return neg(_UNORM[self.face](self.uv[0][0]))  # left
 
+    # -- areas (s2cell.d:237-292) ----------------------------------------
+    def average_area(self) -> float:
+        """Average area of cells at this level (exact closed form)."""
+        from . import metrics
+
+        return metrics.AVG_AREA.get_value(self.level)
+
+    def approx_area(self) -> float:
+        """Cheap area approximation, accurate to ~3% (flat quad area with a
+        first-order spherical-excess correction; s2cell.d ApproxArea)."""
+        if self.level < 2:
+            return self.average_area()
+        v = [self.get_vertex(k) for k in range(4)]
+        d1 = (v[2][0] - v[0][0], v[2][1] - v[0][1], v[2][2] - v[0][2])
+        d2 = (v[3][0] - v[1][0], v[3][1] - v[1][1], v[3][2] - v[1][2])
+        cx = d1[1] * d2[2] - d1[2] * d2[1]
+        cy = d1[2] * d2[0] - d1[0] * d2[2]
+        cz = d1[0] * d2[1] - d1[1] * d2[0]
+        flat_area = 0.5 * math.sqrt(cx * cx + cy * cy + cz * cz)
+        return flat_area * 2.0 / (1.0 + math.sqrt(1.0 - min(flat_area / math.pi, 1.0)))
+
+    def exact_area(self) -> float:
+        """Exact cell area: two spherical triangle excesses."""
+        from . import measures
+
+        v = [self.get_vertex(k) for k in range(4)]
+        return measures.triangle_area(v[0], v[1], v[2]) + measures.triangle_area(
+            v[0], v[2], v[3]
+        )
+
     def contains_point(self, p) -> bool:
         # Valid-face check, then uv-bound containment expanded by epsilon so
         # that Cell(CellId(p)).contains_point(p) always holds.
@@ -434,6 +464,15 @@ class LatLngRect:
         lat = math.atan2(p[2], math.hypot(p[0], p[1]))
         lng = math.atan2(p[1], p[0])
         return self.contains_latlng_radians(lat, lng)
+
+    def interior_contains_latlng_radians(self, lat: float, lng: float) -> bool:
+        """Strict interior (boundary excluded; s2latlng_rect.d interiorContains)."""
+        return self.lat_lo < lat < self.lat_hi and self.lng.interior_contains(lng)
+
+    def interior_contains_point(self, p) -> bool:
+        lat = math.atan2(p[2], math.hypot(p[0], p[1]))
+        lng = math.atan2(p[1], p[0])
+        return self.interior_contains_latlng_radians(lat, lng)
 
     def contains_rect(self, y: "LatLngRect") -> bool:
         if y.is_empty():

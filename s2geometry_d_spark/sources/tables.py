@@ -34,8 +34,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# derived-points cache: every spatial query starts from the same
+# (point_id, lat, lng, cell_id) projection — persist it once per session so
+# a query SUITE doesn't re-run the scan + cell kernel per query (at 100 TB
+# this is "materialize the enriched fact table once", the standard move)
+_POINTS_CACHE: dict = {}
+
+
 def spatial_points(spark: SparkSession, sf_dir: str, with_cell: bool = True) -> DataFrame:
     """orders -> (point_id, lat, lng[, cell_id]) deterministic placement."""
+    key = (spark.sparkContext.applicationId, sf_dir, with_cell)
+    cached = _POINTS_CACHE.get(key)
+    if cached is not None:
+        return cached
     # the test parquet is a single small file => one input split; spread the
     # rows across the executor cores before the cell kernel (at production
     # scale the fact table arrives in thousands of splits and this is a no-op
@@ -52,6 +63,8 @@ def spatial_points(spark: SparkSession, sf_dir: str, with_cell: bool = True) -> 
     )
     if with_cell:
         df = df.withColumn("cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng")))
+    df = df.persist()
+    _POINTS_CACHE[key] = df
     return df
 
 
