@@ -285,6 +285,14 @@ def _q_ann_ivf(spark, sf_dir):
     return similarity.cosine_topk_ivf(_embeddings(spark, sf_dir))
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding near-dup over a corpus with injected exact duplicates (the
+    raw table has no near-dup pairs at 0.99)."""
+    e = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    corpus = e.unionByName(e.withColumn("vec_id", F.col("vec_id") + 1000000))
+    return similarity.embedding_near_dup_pairs(corpus, threshold=0.99)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- spatial joins (SQL-oracled) --------------------------------
@@ -310,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "ann_cosine_lsh": _q_ann_lsh,
         "ann_cosine_ivf": _q_ann_ivf,
+        "dedup_embedding_cosine": _q_dedup_embedding,
         # -- training-data pipeline ops (SQL-oracled) ---------------------
         # exact dedup over a corpus with injected duplicates (the raw
         # documents table has none, which would test nothing)
@@ -596,6 +605,22 @@ FROM m
 """
 
 
+def _dedup_embedding_sql() -> str:
+    return """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.99
+"""
+
+
 def _ann_sql() -> str:
     return """
 WITH q AS (
@@ -759,4 +784,5 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "ann_cosine_topk": _ann_sql(),
+        "dedup_embedding_cosine": _dedup_embedding_sql(),
     }

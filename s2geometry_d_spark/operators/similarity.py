@@ -164,6 +164,47 @@ def cosine_topk_lsh(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+    bucket_cap: int = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded-LSH candidate buckets
+    (capped, collect_list — no self-join) + EXACT cosine confirm.
+
+    Precision is exact (every returned pair passes the true cosine test);
+    recall follows the banding curve 1-(1-p^r)^T with p = 1-acos(s)/pi —
+    ~1.0 at near-duplicate thresholds (s >= 0.9), where identical vectors
+    share every bucket.  Returns (id_a, id_b, sim), id_a < id_b."""
+    sigs = hyperplane_signatures(embeddings, tables, planes)
+    buckets = (
+        sigs.groupBy("tbl", "bucket")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    ea = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        ROUND_DIGITS,
+    )
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 # ---------------------------------------------------------------- IVF
 
 

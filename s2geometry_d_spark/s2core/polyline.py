@@ -66,6 +66,25 @@ class Polyline:
             measures.edges_min_chord2_from_point(np.asarray(p), self._A, self._B).min()
         )
 
+    def subsample_vertices(self, tolerance_radians: float) -> list[int]:
+        """Vertex indices of a simplified polyline within ``tolerance`` of
+        the original, preserving direction/backtracking (the reference's
+        wedge-interval greedy scan, s2polyline.d:470-493,847-922 — NOT
+        Douglas-Peucker; independent re-expression)."""
+        v = self.vertices
+        n = len(v)
+        if n == 0:
+            return []
+        tol = max(0.0, float(tolerance_radians))
+        indices = [0]
+        index = 0
+        while index + 1 < n:
+            nxt = _find_end_vertex(v, tol, index)
+            if v[nxt] != v[index]:
+                indices.append(nxt)
+            index = nxt
+        return indices
+
     # -- region API ---------------------------------------------------------
     def contains_cell(self, cell: Cell) -> bool:
         return False  # a curve contains no 2D region
@@ -91,6 +110,48 @@ class Polyline:
 
     def cell_union_bound(self) -> list[CellId]:
         return self.get_cap_bound().cell_union_bound()
+
+
+def _find_end_vertex(v: list[tuple], tol: float, index: int) -> int:
+    """Longest prefix from v[index] replaceable by one edge: track the wedge
+    of ray angles whose rays pass within ``tol`` of every skipped vertex
+    (1D S1Interval in the origin's tangent frame)."""
+    from . import predicates as pred
+    from .regions import S1Interval
+
+    origin = v[index]
+    xf = pred.ortho(origin)
+    yf = (
+        origin[1] * xf[2] - origin[2] * xf[1],
+        origin[2] * xf[0] - origin[0] * xf[2],
+        origin[0] * xf[1] - origin[1] * xf[0],
+    )
+    wedge = S1Interval.full()
+    last_distance = 0.0
+    idx = index + 1
+    while idx < len(v):
+        cand = v[idx]
+        dot = sum(origin[i] * cand[i] for i in range(3))
+        distance = math.acos(max(-1.0, min(1.0, dot)))
+        # no simplified edges longer than 90 degrees (numeric stability)
+        if distance > math.pi / 2 and last_distance > 0:
+            break
+        # vertices must advance along the ray (beyond the origin disc)
+        if distance < last_distance and last_distance > tol:
+            break
+        last_distance = distance
+        if distance <= tol:
+            idx += 1
+            continue
+        dx = sum(cand[i] * xf[i] for i in range(3))
+        dy = sum(cand[i] * yf[i] for i in range(3))
+        center = math.atan2(dy, dx)
+        if not wedge.contains(center):
+            break
+        half_angle = math.asin(min(1.0, math.sin(tol) / math.sin(distance)))
+        wedge = wedge.intersection(S1Interval.from_point(center).expanded(half_angle))
+        idx += 1
+    return idx - 1
 
 
 class BufferedRegion:

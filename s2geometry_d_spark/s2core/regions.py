@@ -409,6 +409,50 @@ class S1Interval:
             return y.lo <= self.hi or y.hi >= self.lo
         return y.lo <= self.hi and y.hi >= self.lo
 
+    @staticmethod
+    def from_point(p: float) -> "S1Interval":
+        if p == -math.pi:
+            p = math.pi
+        return S1Interval(p, p)
+
+    def get_length(self) -> float:
+        length = self.hi - self.lo
+        if length >= 0:
+            return length
+        length += 2 * math.pi
+        return length if length > 0 else -1.0
+
+    def expanded(self, margin: float) -> "S1Interval":
+        if margin <= 0:
+            return self
+        if self.is_empty():
+            return self
+        if self.get_length() + 2 * margin + 2e-15 >= 2 * math.pi:
+            return S1Interval.full()
+        lo = math.remainder(self.lo - margin, 2 * math.pi)
+        if lo <= -math.pi:
+            lo = math.pi
+        hi = math.remainder(self.hi + margin, 2 * math.pi)
+        if hi <= -math.pi:
+            hi = math.pi
+        return S1Interval(lo, hi)
+
+    def intersection(self, y: "S1Interval") -> "S1Interval":
+        if y.is_empty():
+            return S1Interval.empty()
+        if self.contains(y.lo):
+            if self.contains(y.hi):
+                # either y inside self, or self inside y
+                if y.contains_interval(self):
+                    return S1Interval(self.lo, self.hi)
+                return S1Interval(y.lo, y.hi)
+            return S1Interval(y.lo, self.hi)
+        if self.contains(y.hi):
+            return S1Interval(self.lo, y.hi)
+        if y.contains(self.lo):
+            return S1Interval(self.lo, self.hi)
+        return S1Interval.empty()
+
     def add_point(self, p: float) -> "S1Interval":
         if p == -math.pi:
             p = math.pi
