@@ -34,9 +34,15 @@ SPATIAL = [
 # additional engine coverage included in total wall time
 EXTRA = [
     "cell_roundtrip",
+    "within_distance_polyline",
+    "crossing_edges_join",
+    "group_rect_bounds",
+    "cell_area_stats",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "simhash16",
     "ann_cosine_topk",
+    "ann_cosine_ivf",
     "fingerprint",
     "dedup_exact",
     "lang_id",
