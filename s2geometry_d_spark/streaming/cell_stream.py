@@ -61,6 +61,89 @@ def cell_occupancy_stream(
     )
 
 
+def cell_distinct_entities_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    level: int = 4,
+    entity_mod: int = 97,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """CUSTOM STATEFUL operator via ``applyInPandasWithState``: running
+    per-cell distinct-entity count maintained in group state across
+    micro-batches (the custom-stateful surface the built-in windowed aggs
+    can't express — e.g. sessionization, dedup-in-stream, sketches).
+
+    State per level-L cell = the sorted set of entity ids seen so far (at
+    production scale the exact set swaps for a serialized HLL/theta sketch
+    with the same state plumbing; the fixture cardinalities are small).
+    Emits (parent_cell, n_distinct, n_events) per updated group per batch
+    (Update mode; the LAST emission per cell is the running total).
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        # source option (NOT a sink option): bounds each micro-batch
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    placed = _placed(stream)
+    keyed = placed.withColumn(
+        "parent_cell", kernels.parent_signed(F.col("cell_id"), level)
+    ).withColumn("entity_id", F.col("event_id") % entity_mod)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("parent_cell", T.LongType(), False),
+            T.StructField("n_distinct", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("entities", T.ArrayType(T.LongType()), True),
+            T.StructField("n_events", T.LongType(), True),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        (cell,) = key
+        if state.exists:
+            entities, n_events = state.get
+            seen = set(entities)
+        else:
+            seen, n_events = set(), 0
+        for pdf in pdfs:
+            seen.update(int(e) for e in pdf["entity_id"])
+            n_events += len(pdf)
+        state.update((sorted(seen), n_events))
+        yield pd.DataFrame(
+            {"parent_cell": [cell], "n_distinct": [len(seen)], "n_events": [n_events]}
+        )
+
+    return keyed.groupBy("parent_cell").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def cell_distinct_entities_batch(
+    events: DataFrame, level: int = 4, entity_mod: int = 97
+) -> DataFrame:
+    """The identical computation as a batch plan (oracle for the stream)."""
+    placed = _placed(events)
+    keyed = placed.withColumn(
+        "parent_cell", kernels.parent_signed(F.col("cell_id"), level)
+    ).withColumn("entity_id", F.col("event_id") % entity_mod)
+    return keyed.groupBy("parent_cell").agg(
+        F.countDistinct("entity_id").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def cell_occupancy_batch(events: DataFrame, level: int = 4, window: str = "1 hour") -> DataFrame:
     """The identical computation as a batch plan (oracle for the stream)."""
     placed = _placed(events)
