@@ -138,6 +138,55 @@ def ortho(a):
     return (v[0] / n, v[1] / n, v[2] / n)
 
 
+def robust_cross_prod(a, b):
+    """Unit normal of the great circle through a and b, stable for nearly
+    identical or nearly antipodal points: (b+a) x (b-a) = 2 a x b has
+    magnitude ~|a x b| but cancels the error terms (s2pointutil
+    robustCrossProd semantics); exactly equal/antipodal inputs fall back to
+    a deterministic orthogonal vector."""
+    x = (b[0] + a[0], b[1] + a[1], b[2] + a[2])
+    y = (b[0] - a[0], b[1] - a[1], b[2] - a[2])
+    v = _cross(x, y)
+    n = (v[0] * v[0] + v[1] * v[1] + v[2] * v[2]) ** 0.5
+    if n != 0.0:
+        return (v[0] / n, v[1] / n, v[2] / n)
+    return ortho(a)
+
+
+def rotate(p, axis, angle_radians: float):
+    """Rotate p by the given angle around the unit-vector axis (Rodrigues;
+    s2pointutil rotate semantics — CCW when viewed from the axis tip)."""
+    import math
+
+    c = math.cos(angle_radians)
+    s = math.sin(angle_radians)
+    d = _dot(axis, p)
+    ax = _cross(axis, p)
+    return tuple(
+        p[i] * c + ax[i] * s + axis[i] * d * (1.0 - c) for i in range(3)
+    )
+
+
+def get_frame(z):
+    """Right-handed orthonormal frame (x, y, z) with the given unit z axis
+    (s2pointutil getFrame): x = ortho(z), y = z x x."""
+    x = ortho(z)
+    y = _cross(z, x)
+    return x, y, tuple(z)
+
+
+def from_frame(frame, p):
+    """Map frame-local coordinates p to world coordinates."""
+    x, y, z = frame
+    return tuple(x[i] * p[0] + y[i] * p[1] + z[i] * p[2] for i in range(3))
+
+
+def to_frame(frame, q):
+    """Map world coordinates q into the frame's local coordinates."""
+    x, y, z = frame
+    return (_dot(x, q), _dot(y, q), _dot(z, q))
+
+
 def ordered_ccw(a, b, c, o) -> bool:
     """True if (a,b,c) occur in CCW order around o."""
     total = 0

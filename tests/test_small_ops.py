@@ -84,3 +84,38 @@ def test_rect_interior_contains():
     assert not r.interior_contains_latlng_radians(math.radians(0), math.radians(40.0))
     # but plain contains includes it
     assert r.contains_latlng_radians(math.radians(10.0), math.radians(30))
+
+
+def test_point_utils():
+    import numpy as np
+
+    a = latlng_point(10.0, 20.0)
+    b = latlng_point(10.0, 20.000001)  # nearly identical
+    n = pred.robust_cross_prod(a, b)
+    # unit, orthogonal to both
+    assert abs(sum(c * c for c in n) - 1.0) < 1e-12
+    assert abs(pred._dot(n, a)) < 1e-9 and abs(pred._dot(n, b)) < 1e-9
+    # degenerate: equal points -> deterministic orthogonal
+    n2 = pred.robust_cross_prod(a, a)
+    assert abs(pred._dot(n2, a)) < 1e-12
+
+    # rotate 90 degrees about z: x axis -> y axis
+    r = pred.rotate((1.0, 0.0, 0.0), (0.0, 0.0, 1.0), math.pi / 2)
+    assert r == pytest.approx((0.0, 1.0, 0.0), abs=1e-15)
+    # rotation preserves the angle to the axis
+    p = latlng_point(35.0, -40.0)
+    ax = latlng_point(80.0, 10.0)
+    q = pred.rotate(p, ax, 1.234)
+    assert pred._dot(p, ax) == pytest.approx(pred._dot(q, ax), abs=1e-12)
+
+    # frame roundtrip
+    z = latlng_point(-25.0, 111.0)
+    frame = pred.get_frame(z)
+    for pt in (p, a, z):
+        local = pred.to_frame(frame, pt)
+        back = pred.from_frame(frame, local)
+        assert back == pytest.approx(pt, abs=1e-14)
+    # frame is right-handed orthonormal
+    x, y, zz = frame
+    assert pred._dot(x, y) == pytest.approx(0.0, abs=1e-14)
+    assert pred._cross(x, y) == pytest.approx(zz, abs=1e-14)
