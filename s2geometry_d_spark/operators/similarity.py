@@ -87,29 +87,32 @@ def hyperplane_signatures(
     the banded structure fixes the single-table skew problem: each table
     has 2^planes buckets and a vector collides with a true neighbor in ANY
     table, so recall compounds as 1-(1-p^planes)^tables while candidate
-    sets stay bucket-sized."""
-    def _plane_dot(p: int):
-        scale = float((p + 1) * 0.7391)
-        return F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.sequence(F.lit(1), F.size("embedding")),
-                lambda x, i: x.cast("double") * F.sin(i.cast("double") * scale),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    sets stay bucket-sized.
 
-    rows = []
-    for t in range(tables):
-        sig = None
-        for j in range(planes):
-            bit = F.when(_plane_dot(t * planes + j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-            sig = bit if sig is None else (sig + bit)
-        rows.append(F.struct(F.lit(t).alias("tbl"), sig.cast("int").alias("bucket")))
-    return embeddings.select(
-        "vec_id", "embedding", F.explode(F.array(*rows)).alias("tb")
-    ).select("vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    All tables*planes plane dots are ONE Arrow matmul per batch (Spark's
+    higher-order array lambdas are interpreted per element: 144 plane dots
+    as aggregate(zip_with(...)) expressions ran ~10x slower)."""
+    n_planes = tables * planes
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(emb: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        dim = X.shape[1]
+        # plane p, component i = sin((i+1)*(p+1)*0.7391)
+        P = np.sin(
+            np.outer(np.arange(1, n_planes + 1) * 0.7391, np.arange(1, dim + 1))
+        ).T  # (dim, n_planes)
+        bits = (X @ P) >= 0
+        out = np.zeros((X.shape[0], tables), dtype=np.int32)
+        for t in range(tables):
+            for j in range(planes):
+                out[:, t] |= bits[:, t * planes + j].astype(np.int32) << j
+        return pd.Series(list(out))
+
+    sig = embeddings.withColumn("_b", buckets(F.col("embedding")))
+    return sig.select(
+        "vec_id", "embedding", F.posexplode("_b").alias("tbl", "bucket")
+    )
 
 
 def cosine_topk_lsh(
@@ -167,8 +170,8 @@ def cosine_topk_lsh(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,
-    tables: int = LSH_TABLES,
-    planes: int = LSH_PLANES,
+    tables: int = 12,
+    planes: int = 12,
     bucket_cap: int = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded-LSH candidate buckets
@@ -176,8 +179,12 @@ def embedding_near_dup_pairs(
 
     Precision is exact (every returned pair passes the true cosine test);
     recall follows the banding curve 1-(1-p^r)^T with p = 1-acos(s)/pi —
-    ~1.0 at near-duplicate thresholds (s >= 0.9), where identical vectors
-    share every bucket.  Returns (id_a, id_b, sim), id_a < id_b."""
+    ~1.0 at near-duplicate thresholds (s >= 0.95; identical vectors share
+    every bucket regardless).  planes=12 (4096 buckets/table) is
+    deliberately SHARPER than the top-k ANN setting: near-dup thresholds
+    tolerate tiny per-table recall much better than they tolerate the
+    quadratic candidate blowup of coarse buckets.
+    Returns (id_a, id_b, sim), id_a < id_b."""
     sigs = hyperplane_signatures(embeddings, tables, planes)
     buckets = (
         sigs.groupBy("tbl", "bucket")

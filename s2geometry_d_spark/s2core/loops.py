@@ -177,6 +177,43 @@ class Polygon:
                     return False
         return not self._any_edge_crossing(cell)
 
+    # -- polygon x polygon relations (boolean-op predicate tier) -----------
+    def _boundary_crosses(self, other: "Polygon") -> bool:
+        """Any PROPER crossing between the two boundaries (vectorized
+        triage -> exact over all edge pairs).  Driver-side relation for
+        moderate polygons; the distributed form of this question is
+        operators.crossing.crossing_edges_join."""
+        ea = self._all_edges
+        eb = other._all_edges
+        A = np.repeat(np.asarray([e[0] for e in ea]), len(eb), axis=0)
+        B = np.repeat(np.asarray([e[1] for e in ea]), len(eb), axis=0)
+        C = np.tile(np.asarray([e[0] for e in eb]), (len(ea), 1))
+        D = np.tile(np.asarray([e[1] for e in eb]), (len(ea), 1))
+        return bool((pred.crossing_sign_pairs(A, B, C, D) > 0).any())
+
+    def intersects(self, other: "Polygon") -> bool:
+        """True if the regions share any point (semi-open boundary
+        semantics): boundaries cross, or one region swallows a vertex of
+        the other (with disjoint boundaries, each loop is wholly in or
+        out)."""
+        if self._boundary_crosses(other):
+            return True
+        return any(self.contains_point(v) for v in other.all_vertices()) or any(
+            other.contains_point(v) for v in self.all_vertices()
+        )
+
+    def contains_polygon(self, other: "Polygon") -> bool:
+        """True if other's region is a subset of this region: no boundary
+        crossings, every vertex of other inside self, and no vertex of
+        self inside other (a self boundary vertex interior to other would
+        mean a hole of self cuts into other — see even-odd annulus cases
+        in tests)."""
+        if self._boundary_crosses(other):
+            return False
+        if not all(self.contains_point(v) for v in other.all_vertices()):
+            return False
+        return not any(other.contains_point(v) for v in self.all_vertices())
+
     def get_cap_bound(self) -> Cap:
         # Conservative: centroid-centered cap through the farthest vertex.
         # Sound for polygons smaller than a hemisphere; at or above
