@@ -66,6 +66,30 @@ class Polyline:
             measures.edges_min_chord2_from_point(np.asarray(p), self._A, self._B).min()
         )
 
+    def intersects(self, other: "Polyline") -> bool:
+        """True if the polylines share any point: a proper edge crossing OR
+        a shared vertex / vertex-on-edge touch (crossingSign >= 0 with a
+        vertex-crossing confirm — s2polyline.d intersects semantics)."""
+        from . import predicates as pred
+
+        na, nb = self._A.shape[0], other._A.shape[0]
+        A = np.repeat(self._A, nb, axis=0)
+        B = np.repeat(self._B, nb, axis=0)
+        C = np.tile(other._A, (na, 1))
+        D = np.tile(other._B, (na, 1))
+        signs = pred.crossing_sign_pairs(A, B, C, D)
+        if (signs > 0).any():
+            return True
+        for i in np.nonzero(signs == 0)[0]:
+            if pred.vertex_crossing(
+                tuple(A[i]), tuple(B[i]), tuple(C[i]), tuple(D[i])
+            ) or tuple(A[i]) in (tuple(C[i]), tuple(D[i])) or tuple(B[i]) in (
+                tuple(C[i]),
+                tuple(D[i]),
+            ):
+                return True
+        return False
+
     def subsample_vertices(self, tolerance_radians: float) -> list[int]:
         """Vertex indices of a simplified polyline within ``tolerance`` of
         the original, preserving direction/backtracking (the reference's

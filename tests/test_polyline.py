@@ -115,3 +115,14 @@ def test_expand_at_level_adds_neighbors():
         assert cellunion.contains_id(out, n.id)
     # and the leaf area equals exactly the 3x3 block (no over-expansion)
     assert cellunion.leaf_count(out) == 9 * (1 << (2 * 20))
+
+
+def test_polyline_intersects():
+    a = Polyline.from_latlngs([(0.0, 0.0), (0.0, 10.0)])
+    crossing = Polyline.from_latlngs([(-5.0, 5.0), (5.0, 5.0)])
+    parallel = Polyline.from_latlngs([(2.0, 0.0), (2.0, 10.0)])
+    shared_vertex = Polyline.from_latlngs([(0.0, 10.0), (8.0, 15.0)])
+    assert a.intersects(crossing)
+    assert crossing.intersects(a)
+    assert not a.intersects(parallel)
+    assert a.intersects(shared_vertex)  # touch at a shared endpoint
