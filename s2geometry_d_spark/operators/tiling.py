@@ -14,8 +14,11 @@ Cell assignment per tile (one vectorized Arrow kernel, no per-row python):
    level-L cell touching the tile (the pad absorbs the curvature deviation
    between lattice samples, which is < 1 cell at the chosen level), with
    bounded over-assignment (bbox corners may not touch the tile);
-3. tiles whose samples straddle a cube-face boundary fall back to the
-   sampled cells themselves (documented approximation at face seams).
+3. tiles whose samples straddle a cube-face boundary apply the same
+   padded-bbox construction PER FACE and union the results (superset
+   argument holds face-by-face; a face touched only in a sliver thinner
+   than the sample lattice spacing could still be missed — the residual,
+   much smaller, approximation).
 
 The kernel emits a fixed-width array (grid clamp + repeats); the explode +
 dropDuplicates run JVM-side so dedup is a map-side-combined shuffle.
@@ -87,7 +90,10 @@ def tile_cells(
         gj_hi = np.minimum(j.max(axis=1) // size + 1, (1 << 30) // size - 1)
         ni = gi_hi - gi_lo + 1
         nj = gj_hi - gj_lo + 1
-        over = ((ni > _K) | (nj > _K)) & (lvl > 0)
+        # straddling rows mix ij coords from DIFFERENT faces here (their
+        # apparent spread is meaningless); they coarsen in their own
+        # per-face branch below, so exclude them from this loop
+        over = ((ni > _K) | (nj > _K)) & (lvl > 0) & same_face
         if not over.any():
             break
         lvl = np.where(over, lvl - 1, lvl)
@@ -102,17 +108,40 @@ def tile_cells(
     leaf = ci.from_face_ij(
         grid_face.ravel(), grid_i.ravel(), grid_j.ravel()
     ).reshape(n, _K * _K)
-    # face-straddling tiles: use the sampled leaves (padded by repetition)
-    if not same_face.all():
-        m = ~same_face
-        samp = ci.from_face_ij(face[m].ravel(), i[m].ravel(), j[m].ravel()).reshape(
-            m.sum(), -1
-        )
-        reps = int(np.ceil(_K * _K / samp.shape[1]))
-        leaf[m] = np.tile(samp, (1, reps))[:, : _K * _K]
-
     parents = ci.parent(leaf.ravel(), np.repeat(lvl, _K * _K))
     signed = ci.to_signed(parents).reshape(n, _K * _K)
+
+    # face-straddling tiles (rare): apply the same padded-bbox construction
+    # PER FACE and take the union — the superset argument holds face-by-face
+    # (pad absorbs the sample-lattice gap).  Python loop over only the
+    # straddling rows; level coarsens per row until the union fits the
+    # fixed-width output.
+    if not same_face.all():
+        for r in np.nonzero(~same_face)[0]:
+            row_lvl = int(lvl[r])
+            while True:
+                s = np.int64(1) << (30 - row_lvl)
+                cells: list[int] = []
+                for f in np.unique(face[r]):
+                    sel = face[r] == f
+                    ilo = max(int(i[r][sel].min()) // s - 1, 0)
+                    ihi = min(int(i[r][sel].max()) // s + 1, (1 << 30) // s - 1)
+                    jlo = max(int(j[r][sel].min()) // s - 1, 0)
+                    jhi = min(int(j[r][sel].max()) // s + 1, (1 << 30) // s - 1)
+                    gi, gj = np.meshgrid(
+                        np.arange(ilo, ihi + 1) * s, np.arange(jlo, jhi + 1) * s
+                    )
+                    ff = np.full(gi.size, f, dtype=np.int64)
+                    cells.extend(
+                        ci.parent(ci.from_face_ij(ff, gi.ravel(), gj.ravel()), row_lvl)
+                        .tolist()
+                    )
+                cells = sorted(set(cells))
+                if len(cells) <= _K * _K or row_lvl == 0:
+                    break
+                row_lvl -= 1
+            padded = (cells + [cells[0]] * (_K * _K))[: _K * _K]
+            signed[r] = ci.to_signed(np.array(padded, dtype=np.uint64))
     return pd.Series(list(signed))
 
 

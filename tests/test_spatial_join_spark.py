@@ -88,3 +88,28 @@ class TestKnnJoin:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_tile_assignment_covers_face_seams(spark):
+    """Face-straddling tiles (seams, cube corner, pole, antimeridian) must
+    cover every point of the footprint — the per-face padded-bbox union."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from s2geometry_d_spark.operators import tiling
+    from s2geometry_d_spark.s2core import cellid as ci
+
+    rows = [(1, 0.0, 45.0, 8.0), (2, 35.264, 45.0, 8.0), (3, 88.0, 10.0, 8.0), (4, 0.0, 180.0, 8.0)]
+    imgs = spark.createDataFrame(rows, ["image_id", "lat", "lng", "extent_deg"])
+    out = tiling.image_tile_assignment(imgs, known_extents=[8.0]).toPandas()
+    for img_id, clat, clng, ext in rows:
+        sub = out[out.image_id == img_id]
+        cells = ci.from_signed(sub["cell_id"].to_numpy())
+        rmin, rmax = ci.range_min(cells), ci.range_max(cells)
+        gl = np.clip(np.linspace(clat - ext / 2, clat + ext / 2, 25), -89.9, 89.9)
+        gn = np.linspace(clng - ext / 2, clng + ext / 2, 25)
+        LA, LO = np.meshgrid(gl, gn)
+        LO = ((LO + 180.0) % 360.0) - 180.0
+        leafs = ci.from_latlng(LA.ravel(), LO.ravel())
+        for lf in leafs:
+            assert ((rmin <= lf) & (lf <= rmax)).any(), (img_id, lf)
