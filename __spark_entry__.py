@@ -45,16 +45,25 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic edge fixture shared with the SQL oracle: chain points in
 # (floor(lat), lng, point_id) order -> latitude-banded short edges.  The
 # global window is fixture GENERATION only (fine at test scale); production
-# edge tables arrive as data.
+# edge tables arrive as data.  Both the edge table and its registered-cell
+# index are session-cached (the reference's build-once index model,
+# s2loop.d:1078-1093) so the kNN, crossing and polyline queries share ONE
+# fixture build + ONE registration instead of re-running both per query.
 _EDGE_ORDER = "ORDER BY floor(lat), lng, point_id"
+_EDGES_CACHE: dict = {}
+_REGISTERED_CACHE: dict = {}
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EDGES_CACHE.get(key)
+    if cached is not None:
+        return cached
     pts = _points(spark, sf_dir).select("point_id", "lat", "lng")
     w = W.orderBy(F.floor("lat"), F.col("lng"), F.col("point_id"))
-    return (
+    df = (
         pts.withColumn("blat", F.lead("lat").over(w))
         .withColumn("blng", F.lead("lng").over(w))
         .filter(F.col("blat").isNotNull())
@@ -65,7 +74,20 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "blat",
             "blng",
         )
+        .persist()
     )
+    _EDGES_CACHE[key] = df
+    return df
+
+
+def _edges_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _REGISTERED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = knn.register_edges(_edges(spark, sf_dir))
+    _REGISTERED_CACHE[key] = df
+    return df
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -122,7 +144,13 @@ def _q_knn_edges(spark, sf_dir):
     e = _edges(spark, sf_dir)
     # edge count = orders count - 1; parquet metadata count is free
     n = spark.read.parquet(f"{sf_dir}/orders.parquet").count() - 1
-    res = knn.knn_edges_join(e, demo.knn_queries(), k=5, n_edges_hint=n)
+    res = knn.knn_edges_join(
+        e,
+        demo.knn_queries(),
+        k=5,
+        n_edges_hint=n,
+        registered_df=_edges_registered(spark, sf_dir),
+    )
     return res.select("query_id", "rank", "edge_id")
 
 
@@ -136,7 +164,9 @@ def _q_crossing_edges(spark, sf_dir):
     from s2geometry_d_spark.operators.crossing import crossing_edges_join
 
     e = _edges(spark, sf_dir)
-    out = crossing_edges_join(e, _crossing_targets())
+    out = crossing_edges_join(
+        e, _crossing_targets(), registered_df=_edges_registered(spark, sf_dir)
+    )
     return out.select("target_id", "edge_id")
 
 

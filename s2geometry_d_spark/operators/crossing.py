@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..s2core.regions import Cap, chord2_between, normalize
-from .knn import edge_register_cells_udf
 from .spatial_join import RegionCovering, candidate_match_kernel
 
 
@@ -75,20 +74,16 @@ def crossing_edges_join(
     edges_df: DataFrame,
     target_edges: list[tuple[str, tuple[float, float], tuple[float, float]]],
     edge_id_col: str = "edge_id",
+    registered_df: DataFrame | None = None,
 ) -> DataFrame:
     """(target_id, <edge columns>) for every table edge PROPERLY crossing a
     target edge.  ``target_edges``: [(target_id, (alat, alng), (blat, blng))]
-    — the small/broadcast side (a polyline, a polygon boundary)."""
+    — the small/broadcast side (a polyline, a polygon boundary).
+    ``registered_df`` shares a prebuilt registered-cell table (knn.register_edges)."""
     from ..s2core.regions import latlng_point
+    from .knn import register_edges
 
-    reg_udf = edge_register_cells_udf()
-    registered = (
-        edges_df.withColumn(
-            "_rc", reg_udf(F.col("alat"), F.col("alng"), F.col("blat"), F.col("blng"))
-        )
-        .withColumn("ecell", F.explode(F.array_distinct("_rc")))
-        .drop("_rc")
-    )
+    registered = registered_df if registered_df is not None else register_edges(edges_df)
 
     coverings = []
     payload = {}

@@ -106,12 +106,20 @@ def dedup_minhash_lsh(
     once per join side, and with the cap in place the double explode is
     bounded at bucket_cap^2 rows per bucket — one subtree evaluation, one
     shuffle on the (band, sig) keys."""
+    from pyspark.sql import Window
+
     sigs = minhash_signatures(docs, bands, rows)
-    buckets = (
-        sigs.groupBy("band", "sig")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
+    # enforce the cap BEFORE collect_list: a window count shuffles once on
+    # (band, sig) — spill-backed, so a degenerate hot bucket never builds an
+    # unbounded array in a single aggregation buffer — and the follow-up
+    # groupBy on the same keys reuses the partitioning (no second shuffle)
+    wb = Window.partitionBy("band", "sig")
+    capped = (
+        sigs.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .filter((F.col("_bn") > 1) & (F.col("_bn") <= bucket_cap))
+        .drop("_bn")
     )
+    buckets = capped.groupBy("band", "sig").agg(F.collect_list("doc_id").alias("ids"))
     return (
         buckets.select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))

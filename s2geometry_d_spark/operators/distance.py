@@ -122,6 +122,7 @@ def group_rect_bounds(
     group_col: str,
     lat_col: str = "lat",
     lng_col: str = "lng",
+    n_bins: int = 4096,
 ) -> DataFrame:
     """Per-group lat/lng rect bound with WRAPAROUND-aware longitude: the
     minimal circular lng interval is the complement of the largest gap
@@ -130,36 +131,94 @@ def group_rect_bounds(
     (s2latlng_rect_bounder.d) — for points (not edges) the gap construction
     is exact.
 
-    Plan: one window pass (sort within group) + one aggregate — both
-    shuffle on the group key only.  Returns
-    (group, n_points, lat_lo, lat_hi, lng_lo, lng_hi) in degrees."""
-    from pyspark.sql import Window
+    Scale-safe plan — NO window/sort over the fact table (a per-group sort
+    on a low-cardinality group key is a dozen near-full skewed sorts at
+    100 TB).  Instead:
 
-    w = Window.partitionBy(group_col).orderBy(F.col(lng_col).asc(), F.col(lat_col).asc())
-    wg = Window.partitionBy(group_col)
-    s = (
-        points_df.select(group_col, lat_col, lng_col)
-        .withColumn("_nxt", F.lead(lng_col).over(w))
-        .withColumn("_mn", F.min(lng_col).over(wg))
-        .withColumn("_gap", F.coalesce(F.col("_nxt"), F.col("_mn") + 360.0) - F.col(lng_col))
-        .withColumn("_b", F.coalesce(F.col("_nxt"), F.col("_mn")))
+    1. quantize lng into ``n_bins`` fixed bins; ONE map-side-combined
+       aggregate per (group, bin) -> (count, min_lng, max_lng); output is
+       <= groups x n_bins rows (collected — groups are low-cardinality by
+       premise; the same gap scan also states as a window over this tiny
+       aggregate if groups ever aren't);
+    2. driver gap scan: every between-bin gap (min of next occupied bin -
+       max of this bin, plus the wrap gap) is EXACT from the aggregates;
+    3. exact refinement only inside bins whose internal span could still
+       compete (internal gap <= bin span < bin width, so whenever the best
+       between-bin gap exceeds the bin width — the normal case — no
+       refinement scan runs at all).
+
+    The result is byte-identical to the full-sort construction, including
+    the (gap DESC, lng ASC) tie-break.  Returns
+    (group, n_points, lat_lo, lat_hi, lng_lo, lng_hi) in degrees."""
+    spark = points_df.sparkSession
+    width = 360.0 / n_bins
+    bin_expr = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(lng_col) + 180.0) / F.lit(width)).cast("int")
+        ),
     )
-    wr = Window.partitionBy(group_col).orderBy(F.col("_gap").desc(), F.col(lng_col).asc())
-    best = (
-        s.withColumn("_rn", F.row_number().over(wr))
-        .filter(F.col("_rn") == 1)
-        .select(
-            group_col,
-            F.round(F.col("_b"), 6).alias("lng_lo"),
-            F.round(F.col(lng_col), 6).alias("lng_hi"),
+    src = points_df.select(group_col, lng_col).withColumn("_bin", bin_expr)
+    binned = src.groupBy(group_col, "_bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(lng_col).alias("mn"),
+        F.max(lng_col).alias("mx"),
+    )
+    per_group: dict = {}
+    for r in binned.collect():
+        per_group.setdefault(r[group_col], []).append(
+            (r["_bin"], r["cnt"], r["mn"], r["mx"])
         )
+
+    cand_gaps: dict = {}  # group -> [(gap, start_lng, end_lng)]
+    refine: list = []  # (group, bin) pairs needing exact interior scan
+    for g, bins in per_group.items():
+        bins.sort()
+        gaps = [
+            (nxt_mn - mx, mx, nxt_mn)
+            for (_, _, _, mx), (_, _, nxt_mn, _) in zip(bins, bins[1:])
+        ]
+        # wrap gap: global max -> global min + 360
+        gaps.append((bins[0][2] + 360.0 - bins[-1][3], bins[-1][3], bins[0][2]))
+        best = max(gap for gap, _, _ in gaps)
+        cand_gaps[g] = gaps
+        refine.extend(
+            (g, b) for b, cnt, mn, mx in bins if cnt >= 2 and (mx - mn) >= best
+        )
+
+    if refine:
+        pairs_df = spark.createDataFrame(refine, [group_col, "_bin"])
+        sub = (
+            src.join(F.broadcast(pairs_df), [group_col, "_bin"], "left_semi")
+            .distinct()
+            .collect()
+        )
+        by_bin: dict = {}
+        for r in sub:
+            by_bin.setdefault((r[group_col], r["_bin"]), []).append(r[lng_col])
+        for (g, _), lngs in by_bin.items():
+            lngs.sort()
+            cand_gaps[g].extend(
+                (b - a, a, b) for a, b in zip(lngs, lngs[1:])
+            )
+
+    out_rows = []
+    for g, gaps in cand_gaps.items():
+        gap, start, end = min(gaps, key=lambda t: (-t[0], t[1]))
+        out_rows.append((g, end, start))
+    # round SQL-side (HALF_UP) — python round() is banker's
+    best_df = spark.createDataFrame(out_rows, [group_col, "lng_lo", "lng_hi"]).select(
+        group_col,
+        F.round("lng_lo", 6).alias("lng_lo"),
+        F.round("lng_hi", 6).alias("lng_hi"),
     )
+
     lat_agg = points_df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.min(lat_col), 6).alias("lat_lo"),
         F.round(F.max(lat_col), 6).alias("lat_hi"),
     )
-    return lat_agg.join(best, group_col).select(
+    return lat_agg.join(F.broadcast(best_df), group_col).select(
         group_col, "n_points", "lat_lo", "lat_hi", "lng_lo", "lng_hi"
     )
 

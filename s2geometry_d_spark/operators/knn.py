@@ -71,7 +71,9 @@ def knn_join(
 
     pending = {qid: (lat, lng) for qid, lat, lng in queries}
     radius = {qid: initial_radius_deg for qid in pending}
-    results = None
+    done_rows: list = []
+    topk_schema = None
+    brute: dict = {}
 
     for _ in range(max_rounds):
         if not pending:
@@ -101,26 +103,35 @@ def knn_join(
             .drop("qx", "qy", "qz", "r2")
         )
 
-        # completeness check: need k results AND k-th distance within the ring
-        stats = (
-            topk.groupBy("query_id")
-            .agg(F.count("*").alias("cnt"), F.max("dist2").alias("kth"))
-            .collect()
-        )
-        done = set()
-        for row in stats:
-            r2_ring = chord2_from_radians(math.radians(min(radius[row.query_id], 170.0)))
-            if row.cnt >= k and row.kth <= r2_ring:
-                done.add(row.query_id)
-            elif radius[row.query_id] >= 170.0:
-                done.add(row.query_id)  # ring covers the sphere; accept
-        done_df = topk.filter(F.col("query_id").isin(list(done))) if done else None
-        if done_df is not None:
-            results = done_df if results is None else results.unionByName(done_df)
-        for qid in done:
-            del pending[qid]
-        for qid in pending:
-            radius[qid] = radius[qid] * 2.0
+        # top-k output is tiny (<= |pending| * k): collect it ONCE per round
+        # and assemble the final result driver-side — keeping the lineage
+        # alive instead would re-execute every round's probe+window when the
+        # result is finally consumed.  Completeness: the dist2 <= r2 filter
+        # already bounds the k-th distance by the ring radius, so k results
+        # collected == proof the true top-k lies inside the ring.
+        rows = topk.collect()
+        topk_schema = topk.schema
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid in list(pending):
+            if len(by_q.get(qid, [])) >= k:
+                done_rows.extend(by_q[qid])
+                del pending[qid]
+            elif radius[qid] >= 170.0:
+                # ring clamped and still short of k: points in the antipodal
+                # gap are never candidates — fall through to brute force
+                # rather than accept an incomplete top-k
+                brute[qid] = pending.pop(qid)
+            else:
+                radius[qid] = radius[qid] * 2.0
+
+    pending.update(brute)
+    results = (
+        spark.createDataFrame(done_rows, topk_schema)
+        if topk_schema is not None
+        else None
+    )
 
     if pending:
         # brute-force fallback for stragglers: tiny query set x all points
@@ -195,6 +206,24 @@ def edge_register_cells_udf():
     return reg
 
 
+def register_edges(edges_df: DataFrame) -> DataFrame:
+    """Registered-cell edge index: one row per (edge, covering cell).
+
+    This is the reusable index artifact (the reference's build-once model,
+    s2closest_edge_query.d:119-131) — persisted so every consumer (closest-
+    edge kNN rounds, crossing joins, polyline joins) probes the same built
+    table instead of re-running the registration kernel per action."""
+    reg_udf = edge_register_cells_udf()
+    return (
+        edges_df.withColumn(
+            "_rc", reg_udf(F.col("alat"), F.col("alng"), F.col("blat"), F.col("blng"))
+        )
+        .withColumn("ecell", F.explode(F.array_distinct("_rc")))
+        .drop("_rc")
+        .persist()
+    )
+
+
 def knn_edges_join(
     edges_df: DataFrame,
     queries: list[tuple[str, float, float]],
@@ -203,6 +232,8 @@ def knn_edges_join(
     initial_radius_deg: float | None = None,
     max_rounds: int = 6,
     n_edges_hint: int | None = None,
+    max_distance_deg: float | None = None,
+    registered_df: DataFrame | None = None,
 ) -> DataFrame:
     """Closest-EDGE kNN: the k nearest edges to each query point — the
     reference's flagship query class (s2closest_edge_query.d:98-332 over
@@ -219,35 +250,34 @@ def knn_edges_join(
     * scoring is the closed-form point-to-edge chord^2 (functions.edgedist)
       evaluated natively from the same expression text the SQL oracle uses.
 
+    Options parity with the reference (s2closest_edge_query.d:199-272):
+    ``max_distance_deg`` bounds results to that distance (within-distance
+    becomes the special case k=inf); with it set, fewer than k results at
+    the limit is a COMPLETE answer, not a fallback trigger.
+    ``registered_df`` lets callers share one registered-cell table across
+    queries (the reference's build-once index model).
+
     Returns (query_id, rank, dist2, <edge columns>), rank 1..k by
     (dist2, edge_id).
     """
     spark = edges_df.sparkSession
 
+    max_r = 170.0 if max_distance_deg is None else min(max_distance_deg, 170.0)
     if initial_radius_deg is None:
         n = n_edges_hint or 100_000
         frac = min(1.0, 4.0 * k / max(n, 1))
         initial_radius_deg = max(0.2, math.degrees(2.0 * math.asin(math.sqrt(frac))))
+    initial_radius_deg = min(initial_radius_deg, max_r)
 
     from ..functions import edgedist
 
-    reg_udf = edge_register_cells_udf()
-    registered = (
-        edges_df.withColumn(
-            "_rc", reg_udf(F.col("alat"), F.col("alng"), F.col("blat"), F.col("blng"))
-        )
-        .withColumn("ecell", F.explode(F.array_distinct("_rc")))
-        .drop("_rc")
-    )
-    # the registered-cell table is the reusable index artifact (the
-    # reference's build-once model, s2closest_edge_query.d:119-131): persist
-    # it so the per-round candidate probes and the final result consumption
-    # don't re-run the registration kernel per action
-    registered = registered.persist()
+    registered = registered_df if registered_df is not None else register_edges(edges_df)
 
     pending = {qid: (lat, lng) for qid, lat, lng in queries}
     radius = {qid: initial_radius_deg for qid in pending}
-    results = None
+    done_rows: list = []
+    topk_schema = None
+    brute: dict = {}
 
     def _score(cand: DataFrame, qdf: DataFrame) -> DataFrame:
         cand = cand.join(F.broadcast(qdf), "query_id")
@@ -262,7 +292,7 @@ def knn_edges_join(
         if not pending:
             break
         regions = [
-            (qid, Cap.from_latlng_radius(lat, lng, min(radius[qid], 170.0)))
+            (qid, Cap.from_latlng_radius(lat, lng, min(radius[qid], max_r)))
             for qid, (lat, lng) in pending.items()
         ]
         coverings = compute_coverings(regions, max_cells=24)
@@ -274,7 +304,7 @@ def knn_edges_join(
         )
 
         qrows = [
-            (qid, *_xyz(lat, lng), chord2_from_radians(math.radians(min(radius[qid], 170.0))))
+            (qid, *_xyz(lat, lng), chord2_from_radians(math.radians(min(radius[qid], max_r))))
             for qid, (lat, lng) in pending.items()
         ]
         qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz", "r2"])
@@ -288,25 +318,36 @@ def knn_edges_join(
             .drop("qx", "qy", "qz", "r2")
         )
 
-        stats = (
-            topk.groupBy("query_id")
-            .agg(F.count("*").alias("cnt"), F.max("dist2").alias("kth"))
-            .collect()
-        )
-        done = set()
-        for row in stats:
-            r2_ring = chord2_from_radians(math.radians(min(radius[row.query_id], 170.0)))
-            if row.cnt >= k and row.kth <= r2_ring:
-                done.add(row.query_id)
-            elif radius[row.query_id] >= 170.0:
-                done.add(row.query_id)
-        done_df = topk.filter(F.col("query_id").isin(list(done))) if done else None
-        if done_df is not None:
-            results = done_df if results is None else results.unionByName(done_df)
-        for qid in done:
-            del pending[qid]
-        for qid in pending:
-            radius[qid] = radius[qid] * 2.0
+        # collect the tiny per-round top-k and finish driver-side (see
+        # knn_join): one plan execution per round, none at result time
+        rows = topk.collect()
+        topk_schema = topk.schema
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid in list(pending):
+            got = by_q.get(qid, [])
+            if len(got) >= k:
+                done_rows.extend(got)
+                del pending[qid]
+            elif radius[qid] >= max_r:
+                if max_distance_deg is not None:
+                    # a distance limit makes <k results a complete answer
+                    done_rows.extend(got)
+                    del pending[qid]
+                else:
+                    # clamped at 170 deg with <k results: edges in the
+                    # antipodal gap are never candidates — brute-force them
+                    brute[qid] = pending.pop(qid)
+            else:
+                radius[qid] = radius[qid] * 2.0
+
+    pending.update(brute)
+    results = (
+        spark.createDataFrame(done_rows, topk_schema)
+        if topk_schema is not None
+        else None
+    )
 
     if pending:
         qrows = [(qid, *_xyz(lat, lng)) for qid, (lat, lng) in pending.items()]
@@ -315,6 +356,11 @@ def knn_edges_join(
             F.broadcast(spark.createDataFrame([(q,) for q in pending], ["query_id"]))
         )
         scored = _score(cand, qdf)
+        if max_distance_deg is not None:
+            scored = scored.filter(
+                F.col("dist2")
+                <= F.lit(chord2_from_radians(math.radians(max_distance_deg)))
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist2").asc(), F.col(edge_id_col).asc()
         )

@@ -34,18 +34,31 @@ def _decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     raise NotImplementedError(f"no decoder available for format {fmt!r}")
 
 
+def _fit(arr: np.ndarray) -> np.ndarray:
+    """Normalize a decoded (h, w, 3) frame to the canonical (H, W, 3): crop
+    the excess, zero-pad the deficit.  Keeps a mixed-dimension batch from
+    crashing the whole-batch stack (real codecs return per-row dims)."""
+    h, w = arr.shape[0], arr.shape[1]
+    if h == H and w == W:
+        return arr
+    out = np.zeros((H, W, 3), dtype=np.uint8)
+    out[: min(h, H), : min(w, W)] = arr[: min(h, H), : min(w, W)]
+    return out
+
+
 def _decode_batch(pdf: pd.DataFrame) -> np.ndarray:
     """(n, H, W, 3) decoded batch.  The only per-row python is a zero-copy
     buffer view per payload (the codec boundary is inherently per-row); all
     math downstream is whole-batch numpy.  Non-FAKE payloads route through
-    the scalar decoder, which raises the documented NotImplementedError."""
+    the scalar decoder, which raises the documented NotImplementedError;
+    frames whose decoded dims differ from (H, W) are normalized per-row."""
     bufs = []
     for data, fmt, w, h in zip(pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]):
         data = bytes(data)
         if data[:4] == b"FAKE" and int(w) == W and int(h) == H:
             bufs.append(np.frombuffer(data, dtype=np.uint8, count=H * W * 3, offset=8))
         else:
-            bufs.append(_decode(data, fmt, int(w), int(h)).reshape(-1))
+            bufs.append(_fit(_decode(data, fmt, int(w), int(h))).reshape(-1))
     return np.stack(bufs).reshape(len(bufs), H, W, 3)
 
 

@@ -186,11 +186,16 @@ def embedding_near_dup_pairs(
     quadratic candidate blowup of coarse buckets.
     Returns (id_a, id_b, sim), id_a < id_b."""
     sigs = hyperplane_signatures(embeddings, tables, planes)
-    buckets = (
-        sigs.groupBy("tbl", "bucket")
-        .agg(F.collect_list("vec_id").alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= bucket_cap))
+    # cap BEFORE collect_list (spill-backed window count, same keys -> the
+    # groupBy reuses the shuffle partitioning): a degenerate hot bucket must
+    # never materialize an unbounded id array in one aggregation buffer
+    wb = Window.partitionBy("tbl", "bucket")
+    capped = (
+        sigs.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .filter((F.col("_bn") > 1) & (F.col("_bn") <= bucket_cap))
+        .drop("_bn")
     )
+    buckets = capped.groupBy("tbl", "bucket").agg(F.collect_list("vec_id").alias("ids"))
     pairs = (
         buckets.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))

@@ -303,10 +303,11 @@ def _polygon_pip_udf(indexes: dict[str, PolygonCellIndex], vertex_model: str = "
             lvl = CellId(cid).level()
             signed = int(np.int64(np.uint64(cid) ^ np.uint64(1 << 63)))
             by_level.setdefault(lvl, []).append((signed, ordinal))
-            edge_list = [
-                (tuple(idx.edges_a[e]), tuple(idx.edges_b[e])) for e in near
-            ]
-            records.append((tuple(center), bool(c_bit), edge_list))
+            # numpy-array edge storage: ~48 bytes/edge serialized vs ~200+
+            # for python tuple floats — matters at 10^6-edge coastlines
+            ea = np.asarray([idx.edges_a[e] for e in near], dtype=np.float64).reshape(-1, 3)
+            eb = np.asarray([idx.edges_b[e] for e in near], dtype=np.float64).reshape(-1, 3)
+            records.append((tuple(center), bool(c_bit), ea, eb))
         tables = []
         for lvl, rows in sorted(by_level.items()):
             rows.sort()
@@ -316,6 +317,14 @@ def _polygon_pip_udf(indexes: dict[str, PolygonCellIndex], vertex_model: str = "
             tables.append((nl, cells, ords))
         payload[rid] = (tables, records)
 
+    # ship the per-cell edge payload as a broadcast variable — ONE transfer
+    # per executor — instead of pickling it into every task's UDF closure
+    # (for a 10^6-edge polygon the closure would be tens of MB per stage)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    bc_payload = spark.sparkContext.broadcast(payload)
+
     @F.pandas_udf(T.BooleanType())
     def pip_exact(
         region_id: pd.Series, cell_signed: pd.Series, lat: pd.Series, lng: pd.Series
@@ -323,17 +332,18 @@ def _polygon_pip_udf(indexes: dict[str, PolygonCellIndex], vertex_model: str = "
         from ..s2core import coords
         from ..s2core import predicates as pred
 
+        local_payload = bc_payload.value
         ids = cell_signed.to_numpy(dtype=np.int64)
         lat_np = lat.to_numpy(dtype=np.float64)
         lng_np = lng.to_numpy(dtype=np.float64)
         out = np.zeros(ids.shape[0], dtype=bool)
         for rid in region_id.unique():
-            if rid not in payload:
+            if rid not in local_payload:
                 # UDFs in a disjunction are evaluated for every candidate
                 # row, including non-polygon regions: those stay False here
                 # (their own native predicate decides acceptance).
                 continue
-            tables, records = payload[rid]
+            tables, records = local_payload[rid]
             m = (region_id == rid).to_numpy()
             sub = ids[m]
             found = np.full(sub.shape[0], -1, dtype=np.int64)
@@ -350,7 +360,10 @@ def _polygon_pip_udf(indexes: dict[str, PolygonCellIndex], vertex_model: str = "
                 res = np.zeros(sub.shape[0], dtype=bool)
                 for o in np.unique(found[found >= 0]):
                     g = found == o
-                    center, c_bit, edge_list = records[int(o)]
+                    center, c_bit, ea, eb = records[int(o)]
+                    edge_list = [
+                        (tuple(ea[e]), tuple(eb[e])) for e in range(ea.shape[0])
+                    ]
                     counts = pred.crossings_with_fixed_edges(
                         center[0], center[1], center[2], x[g], y[g], z[g], edge_list
                     )

@@ -420,11 +420,18 @@ class CellId:
 
     @staticmethod
     def from_latlng(lat_deg: float, lng_deg: float) -> "CellId":
-        arr = from_latlng(np.array([lat_deg]), np.array([lng_deg]))
+        # accept 0-d/1-element array-likes: ndarray->scalar conversion is a
+        # hard error in future numpy
+        lat = float(np.asarray(lat_deg, dtype=np.float64).ravel()[0])
+        lng = float(np.asarray(lng_deg, dtype=np.float64).ravel()[0])
+        arr = from_latlng(np.array([lat]), np.array([lng]))
         return CellId(int(arr[0]))
 
     @staticmethod
     def from_point(x: float, y: float, z: float) -> "CellId":
+        x = float(np.asarray(x, dtype=np.float64).ravel()[0])
+        y = float(np.asarray(y, dtype=np.float64).ravel()[0])
+        z = float(np.asarray(z, dtype=np.float64).ravel()[0])
         arr = from_xyz(np.array([x]), np.array([y]), np.array([z]))
         return CellId(int(arr[0]))
 
