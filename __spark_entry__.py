@@ -293,6 +293,19 @@ def _q_tile_assignment(spark, sf_dir):
     )
 
 
+def _q_tile_containment(spark, sf_dir):
+    """Independent semantic oracle for the tile assignment (checkCovering
+    discipline, s2testing.d:424-449): a 9x9 probe lattice per tile —
+    strictly finer than the kernel's own 4x4 samples — must find ZERO probe
+    points whose containing cell is not covered by the tile's assigned
+    cells.  The oracle states the expected invariant (81 probes, 0 missed
+    per tile) from the image-id derivation alone, fully independent of the
+    engine's geometry."""
+    imgs = synth_images(spark, sf_dir)
+    extents = [0.5 + k / 10.0 for k in range(10)]
+    return tiling.tile_containment_check(imgs, known_extents=extents)
+
+
 def _q_image_verify(spark, sf_dir):
     from s2geometry_d_spark.operators.multimodal import verify_images
 
@@ -344,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_partition_stats": _q_cell_partition_stats,
         "cell_area_stats": _q_cell_area_stats,
         "tile_assignment": _q_tile_assignment,
+        "tile_containment_check": _q_tile_containment,
         "image_verify": _q_image_verify,
         "image_features": _q_image_features,
         "ann_cosine_lsh": _q_ann_lsh,
@@ -780,9 +794,24 @@ GROUP BY c.band, c.n_points, c.cx, c.cy, c.cz
 """
 
 
+def _tile_containment_sql() -> str:
+    """The completeness invariant stated independently of the engine: every
+    (image, tile) must report 81 probes and 0 misses; image ids derive from
+    doc ids by construction (sources/images.py)."""
+    return """
+SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id,
+       tx.tile_x, ty.tile_y,
+       CAST(81 AS BIGINT) AS n_probes, CAST(0 AS BIGINT) AS n_missed
+FROM documents
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS tile_x) tx
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS tile_y) ty
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pip_cap_join": _pip_cap_sql(),
+        "tile_containment_check": _tile_containment_sql(),
         "within_distance_join": _within_distance_sql(),
         "within_distance_polyline": _within_polyline_sql(),
         "group_cap_bounds": _group_bounds_sql(),

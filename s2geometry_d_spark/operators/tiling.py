@@ -14,11 +14,15 @@ Cell assignment per tile (one vectorized Arrow kernel, no per-row python):
    level-L cell touching the tile (the pad absorbs the curvature deviation
    between lattice samples, which is < 1 cell at the chosen level), with
    bounded over-assignment (bbox corners may not touch the tile);
-3. tiles whose samples straddle a cube-face boundary apply the same
-   padded-bbox construction PER FACE and union the results (superset
-   argument holds face-by-face; a face touched only in a sliver thinner
-   than the sample lattice spacing could still be missed — the residual,
-   much smaller, approximation).
+3. tiles whose samples straddle a cube-face boundary — or whose padded
+   bbox touches a face border — apply the same padded-bbox construction
+   PER FACE and additionally union the <=4-cell bounding-cap cell-union
+   bound (S2Cap.getCellUnionBound, s2cap.d:490-511), a PROVEN superset of
+   the whole tile.  No residual sliver approximation remains: interior
+   tiles are covered by the pad argument (curvature deviation < 1 cell
+   between samples), border tiles by the cap bound.  Completeness is
+   oracled end-to-end by the ``tile_containment_check`` query (dense probe
+   lattice, checkCovering discipline, s2testing.d:424-449).
 
 The kernel emits a fixed-width array (grid clamp + repeats); the explode +
 dropDuplicates run JVM-side so dedup is a map-side-combined shuffle.
@@ -111,13 +115,44 @@ def tile_cells(
     parents = ci.parent(leaf.ravel(), np.repeat(lvl, _K * _K))
     signed = ci.to_signed(parents).reshape(n, _K * _K)
 
-    # face-straddling tiles (rare): apply the same padded-bbox construction
-    # PER FACE and take the union — the superset argument holds face-by-face
-    # (pad absorbs the sample-lattice gap).  Python loop over only the
-    # straddling rows; level coarsens per row until the union fits the
-    # fixed-width output.
-    if not same_face.all():
-        for r in np.nonzero(~same_face)[0]:
+    # Completeness backstop (face-straddling AND near-border tiles): apply
+    # the padded-bbox construction PER FACE for tightness, then UNION the
+    # <=4-cell cell-union bound of the tile's bounding cap
+    # (S2Cap.getCellUnionBound, s2cap.d:490-511).  The cap bound alone is a
+    # PROVEN superset of the whole tile (a lat/lng rect's farthest points
+    # from its center are its corners), so a face touched only in a sliver
+    # thinner than the sample lattice can no longer be missed.  Near-border
+    # detection: if the padded bbox stays >= 1 cell inside the face on every
+    # side, the curvature-deviation bound (< 1 cell between samples) proves
+    # the tile cannot cross the face edge — only rows whose bbox touches a
+    # border need the backstop.  Python loop over only those rare rows;
+    # level coarsens per row until the union fits the fixed-width output.
+    nmax = (np.int64(1) << 30) // size - 1
+    near_border = same_face & (
+        (gi_lo == 0) | (gj_lo == 0) | (gi_hi == nmax) | (gj_hi == nmax)
+    )
+    needs_backstop = ~same_face | near_border
+    if needs_backstop.any():
+        for r in np.nonzero(needs_backstop)[0]:
+            # bounding-cap cells (completeness backstop, level-independent)
+            c_lat = np.array([la0[r], la0[r], la1[r], la1[r]])
+            c_lng = ((np.array([lo0[r], lo1[r], lo0[r], lo1[r]]) + 180.0) % 360.0) - 180.0
+            cx_, cy_, cz_ = coords.latlng_to_xyz(c_lat, c_lng)
+            m_lat = 0.5 * (la0[r] + la1[r])
+            m_lng = ((0.5 * (lo0[r] + lo1[r]) + 180.0) % 360.0) - 180.0
+            mx_, my_, mz_ = coords.latlng_to_xyz(np.array([m_lat]), np.array([m_lng]))
+            r2c = float(
+                np.max((cx_ - mx_) ** 2 + (cy_ - my_) ** 2 + (cz_ - mz_) ** 2)
+            )
+            radius = 2.0 * math.asin(min(1.0, 0.5 * math.sqrt(r2c)))
+            lvl_cap = metrics.MIN_WIDTH.get_level_for_min_value(2.0 * radius) - 1
+            lvl_cap = max(0, min(29, lvl_cap))
+            cap_cells = [
+                int(c)
+                for c in ci.vertex_neighbors(
+                    ci.from_xyz(mx_, my_, mz_), np.array([lvl_cap])
+                ).reshape(-1)
+            ]
             row_lvl = int(lvl[r])
             while True:
                 s = np.int64(1) << (30 - row_lvl)
@@ -136,13 +171,77 @@ def tile_cells(
                         ci.parent(ci.from_face_ij(ff, gi.ravel(), gj.ravel()), row_lvl)
                         .tolist()
                     )
-                cells = sorted(set(cells))
+                cells = sorted(set(cells) | set(cap_cells))
                 if len(cells) <= _K * _K or row_lvl == 0:
                     break
                 row_lvl -= 1
             padded = (cells + [cells[0]] * (_K * _K))[: _K * _K]
             signed[r] = ci.to_signed(np.array(padded, dtype=np.uint64))
     return pd.Series(list(signed))
+
+
+def _tile_bounds(df: DataFrame, lat_col: str, lng_col: str, extent_col: str) -> DataFrame:
+    """Attach (lat0, lat1, lng0, lng1) tile bounds for existing
+    (tile_x, tile_y) columns — the same construction image_tile_assignment
+    uses (including the polar lat clamp)."""
+    g = F.lit(float(GRID))
+    half = F.col(extent_col) / 2.0
+    return (
+        df.withColumn("lat0", F.col(lat_col) - half + F.col(extent_col) * F.col("tile_y") / g)
+        .withColumn("lat1", F.col("lat0") + F.col(extent_col) / g)
+        .withColumn("lng0", F.col(lng_col) - half + F.col(extent_col) * F.col("tile_x") / g)
+        .withColumn("lng1", F.col("lng0") + F.col(extent_col) / g)
+        .withColumn("lat0", F.greatest(F.lit(-89.9), F.least(F.lit(89.9), F.col("lat0"))))
+        .withColumn("lat1", F.greatest(F.lit(-89.9), F.least(F.lit(89.9), F.col("lat1"))))
+    )
+
+
+def tile_containment_check(
+    images: DataFrame,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    extent_col: str = "extent_deg",
+    id_col: str = "image_id",
+    known_extents: list[float] | None = None,
+    probes_per_axis: int = 9,
+) -> DataFrame:
+    """Independent semantic oracle for the tile assignment — the engine's
+    checkCovering discipline (reference s2testing.d:424-449): probe every
+    tile with a DENSE lattice (``probes_per_axis``^2, strictly finer than
+    the assignment kernel's own 4x4 samples, endpoints included) and count
+    probe points whose containing cell is NOT covered by any assigned cell.
+
+    A complete assignment yields n_missed = 0 on every tile; any sliver the
+    padded-bbox construction misses shows up as a nonzero count.  Returns
+    (image_id, tile_x, tile_y, n_probes, n_missed).
+    """
+    assigned = image_tile_assignment(
+        images, lat_col, lng_col, extent_col, id_col, known_extents
+    )
+    per_tile = assigned.groupBy(id_col, "tile_x", "tile_y").agg(
+        F.collect_list("cell_id").alias("cells")
+    )
+    attrs = images.select(id_col, lat_col, lng_col, extent_col)
+    t = _tile_bounds(per_tile.join(attrs, id_col), lat_col, lng_col, extent_col)
+
+    fr = [i / (probes_per_axis - 1) for i in range(probes_per_axis)]
+    fr_arr = F.array(*[F.lit(float(f)) for f in fr])
+    t = (
+        t.withColumn("fx", F.explode(fr_arr))
+        .withColumn("fy", F.explode(fr_arr))
+        .withColumn("plat", F.col("lat0") + (F.col("lat1") - F.col("lat0")) * F.col("fy"))
+        .withColumn("plng", F.col("lng0") + (F.col("lng1") - F.col("lng0")) * F.col("fx"))
+        .withColumn("leaf", kernels.cell_from_latlng(F.col("plat"), F.col("plng")))
+    )
+    # signed-domain interval containment: assigned cell c covers the probe's
+    # leaf iff leaf in [c - (lsb-1), c + (lsb-1)] — all native bit math
+    covered = F.expr(
+        "exists(cells, c -> leaf >= c - (c & -c) + 1 AND leaf <= c + (c & -c) - 1)"
+    )
+    return t.groupBy(id_col, "tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(covered, 0).otherwise(1)).alias("n_missed"),
+    )
 
 
 def image_tile_assignment(

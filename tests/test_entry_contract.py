@@ -49,7 +49,9 @@ class TestTiling:
         n_tiles = assigned.select("image_id", "tile_x", "tile_y").distinct().count()
         n_images = imgs.count()
         assert n_tiles == n_images * GRID * GRID
-        # levels are valid and cells are valid ids at that level
+        # levels are valid; cells may COARSEN below the requested level
+        # (polar bbox overflow, border-tile cap-bound backstop) but never
+        # refine past it
         from s2geometry_d_spark.s2core.cellid import CellId, from_signed
         import numpy as np
 
@@ -57,7 +59,7 @@ class TestTiling:
         for r in rows:
             cid = CellId(int(from_signed(np.array([r.cell_id], dtype=np.int64))[0]))
             assert cid.is_valid()
-            assert cid.level() == r.level
+            assert cid.level() <= r.level
 
     def test_tile_cells_cover_tile_samples(self, spark):
         # independent check: random points inside a tile map to assigned cells

@@ -1,0 +1,64 @@
+"""Tile-assignment completeness (checkCovering discipline,
+reference s2testing.d:424-449): a probe lattice strictly finer than the
+assignment kernel's own samples must find zero uncovered probe points —
+including on adversarial footprints (polar caps, antimeridian, cube-face
+seams and corners), where the per-face padded-bbox construction earns its
+keep."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from s2geometry_d_spark.operators import tiling
+
+# cube-face geometry: seams at lng multiples of 90 (faces 0..3), corners at
+# lat = atan(1/sqrt(2)) ~ 35.264 deg; poles are faces 2/5
+ADVERSARIAL = [
+    # (image_id, lat, lng, extent_deg)
+    ("t_polar_n", 89.0, 10.0, 1.4),        # clamps against the 89.9 lat cap
+    ("t_polar_s", -88.7, -170.0, 1.0),
+    ("t_antimeridian", 10.0, 179.95, 0.8),  # lng wrap inside tiles
+    ("t_seam_eq", 0.0, 45.0, 1.2),          # face 0/1 seam on the equator
+    ("t_seam_mid", 20.0, 135.0, 0.9),       # face 1/2... seam off-equator
+    ("t_corner", 35.264389682754654, 45.0, 1.1),  # cube corner: 3 faces meet
+    ("t_corner_s", -35.264389682754654, -135.0, 0.7),
+    ("t_face_center", 0.0, 0.0, 0.5),
+    ("t_pole_adjacent", 80.0, 45.0, 1.3),   # high-lat straddle
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_images(spark):
+    return spark.createDataFrame(
+        ADVERSARIAL, ["image_id", "lat", "lng", "extent_deg"]
+    )
+
+
+def test_adversarial_footprints_fully_covered(spark, adversarial_images):
+    chk = tiling.tile_containment_check(
+        adversarial_images,
+        known_extents=sorted({r[3] for r in ADVERSARIAL}),
+        probes_per_axis=17,  # 289 probes/tile, 4x finer than the kernel grid
+    )
+    rows = chk.collect()
+    assert len(rows) == len(ADVERSARIAL) * tiling.GRID * tiling.GRID
+    missed = {(r["image_id"], r["tile_x"], r["tile_y"]): r["n_missed"] for r in rows}
+    assert all(v == 0 for v in missed.values()), {
+        k: v for k, v in missed.items() if v
+    }
+
+
+def test_assignment_levels_do_not_exceed_requested(spark, adversarial_images):
+    """The kernel may COARSEN (never refine) when the padded bbox exceeds
+    the fixed-width output; emitted cells must therefore sit at or above
+    (coarser than or equal to) the requested level."""
+    from s2geometry_d_spark.functions import kernels
+
+    extents = sorted({r[3] for r in ADVERSARIAL})
+    assigned = tiling.image_tile_assignment(
+        adversarial_images, known_extents=extents
+    )
+    lvl = assigned.withColumn("cell_level", kernels.cell_level(F.col("cell_id")))
+    bad = lvl.filter(F.col("cell_level") > F.col("level")).count()
+    assert bad == 0
