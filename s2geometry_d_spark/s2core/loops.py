@@ -214,13 +214,31 @@ class Polygon:
             return False
         return not any(other.contains_point(v) for v in self.all_vertices())
 
+    def get_rect_bound(self):
+        """Edge-aware lat/lng rect bound (s2latlng_rect_bounder.d): union
+        of per-edge bounds — which include the latitude bulge past vertex
+        latitudes — expanded to a pole when the interior contains it."""
+        from .rectbounder import chain_rect_bound, rect_union
+        from .regions import LatLngRect, S1Interval
+
+        out = None
+        for lp in self.loops:
+            b = chain_rect_bound(lp.vertices, closed=True)
+            out = b if out is None else rect_union(out, b)
+        if self.contains_point((0.0, 0.0, 1.0)):
+            out = rect_union(out, LatLngRect(out.lat_lo, math.pi / 2, S1Interval.full()))
+        if self.contains_point((0.0, 0.0, -1.0)):
+            out = rect_union(out, LatLngRect(-math.pi / 2, out.lat_hi, S1Interval.full()))
+        return out
+
     def get_cap_bound(self) -> Cap:
-        # Conservative: centroid-centered cap through the farthest vertex.
-        # Sound for polygons smaller than a hemisphere; at or above
-        # hemisphere scale (vertex spread >= 90deg from centroid, or a
-        # degenerate centroid) the vertex hull no longer bounds the interior,
-        # so fall back to the full-sphere cap — the coverer then seeds from
-        # all six faces and the covering stays complete.
+        """Sound bounding cap via the edge-aware rect bound (replaces the
+        round-2 full-sphere fallback at hemisphere scale): take the smaller
+        of the rect-derived cap and the centroid-vertex cap when the latter
+        is sound (< hemisphere vertex spread)."""
+        from .rectbounder import rect_cap_bound
+
+        best = rect_cap_bound(self.get_rect_bound())
         cx = cy = cz = 0.0
         n = 0
         for lp in self.loops:
@@ -230,16 +248,17 @@ class Polygon:
                 cz += v[2]
                 n += 1
         norm = math.sqrt(cx * cx + cy * cy + cz * cz) / n
-        if norm < 1e-9:
-            return Cap.full()
-        c = normalize((cx / n, cy / n, cz / n))
-        r2 = 0.0
-        for lp in self.loops:
-            for v in lp.vertices:
-                r2 = max(r2, chord2_between(c, v))
-        if r2 >= 2.0:  # reaches a hemisphere: vertex bound is unsound
-            return Cap.full()
-        return Cap(c, r2)
+        if norm >= 1e-9:
+            c = normalize((cx / n, cy / n, cz / n))
+            r2 = 0.0
+            for lp in self.loops:
+                for v in lp.vertices:
+                    r2 = max(r2, chord2_between(c, v))
+            if r2 < 2.0 and r2 < best.radius2:
+                # vertex hull bounds the interior only below hemisphere
+                # spread; within that it is usually tighter than the rect cap
+                best = Cap(c, r2)
+        return best
 
     def cell_union_bound(self) -> list[CellId]:
         return self.get_cap_bound().cell_union_bound()

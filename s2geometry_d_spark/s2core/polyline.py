@@ -119,18 +119,30 @@ class Polyline:
         circ2 = max(chord2_between(center, cell.get_vertex(k)) for k in range(4))
         return self.min_chord2(center) <= circ2 * (1.0 + 1e-9) + 1e-15
 
+    def get_rect_bound(self):
+        """Edge-aware rect bound (s2latlng_rect_bounder.d): per-edge lat
+        bulge included — vertex-only bounds under-cover arcs that peak past
+        their endpoint latitudes."""
+        from .rectbounder import chain_rect_bound
+
+        return chain_rect_bound(self.vertices, closed=False)
+
     def get_cap_bound(self) -> Cap:
+        # vertex-hull cap: sound below hemisphere spread (caps with radius
+        # < 90deg are geodesically convex, so edges stay inside); otherwise
+        # fall back to the edge-aware rect-derived cap (never full-sphere)
+        from .rectbounder import rect_cap_bound
+
         cx = cy = cz = 0.0
         for v in self.vertices:
             cx, cy, cz = cx + v[0], cy + v[1], cz + v[2]
         norm = math.sqrt(cx * cx + cy * cy + cz * cz) / len(self.vertices)
-        if norm < 1e-9:
-            return Cap.full()
-        c = normalize((cx, cy, cz))
-        r2 = max(chord2_between(c, v) for v in self.vertices)
-        if r2 >= 2.0:
-            return Cap.full()
-        return Cap(c, r2)
+        if norm >= 1e-9:
+            c = normalize((cx, cy, cz))
+            r2 = max(chord2_between(c, v) for v in self.vertices)
+            if r2 < 2.0:
+                return Cap(c, r2)
+        return rect_cap_bound(self.get_rect_bound())
 
     def cell_union_bound(self) -> list[CellId]:
         return self.get_cap_bound().cell_union_bound()
