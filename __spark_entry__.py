@@ -154,6 +154,66 @@ def _q_knn_edges(spark, sf_dir):
     return res.select("query_id", "rank", "edge_id")
 
 
+_POLYLINE_CHAIN = 100  # consecutive fixture edges per polyline
+
+
+def _polyline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline TABLE fixture: consecutive fixture edges chained into
+    polylines of _POLYLINE_CHAIN edges each (SQL-reproducible numbering:
+    row_number over the a-endpoint's original sort key)."""
+    from pyspark.sql import Window as W
+
+    e = _edges(spark, sf_dir)
+    w = W.orderBy(F.floor("alat"), F.col("alng"), F.col("edge_id"))
+    return e.withColumn(
+        "polyline_id",
+        F.floor((F.row_number().over(w) - 1) / _POLYLINE_CHAIN).cast("long"),
+    )
+
+
+def _q_nearest_polyline(spark, sf_dir):
+    """k nearest POLYLINES per query — polylines as a first-class TABLE
+    side (VERDICT #10)."""
+    from s2geometry_d_spark.operators.polyline_join import nearest_polyline_join
+
+    pe = _polyline_edges(spark, sf_dir)
+    n_pl = (spark.read.parquet(f"{sf_dir}/orders.parquet").count() - 1) // _POLYLINE_CHAIN + 1
+    res = nearest_polyline_join(
+        pe, demo.knn_queries(), k=3, n_polylines_hint=n_pl
+    )
+    return res.select(
+        "query_id", "rank", "polyline_id", F.round("dist2", 9).alias("dist2")
+    )
+
+
+def _q_knn_edges_maxdist(spark, sf_dir):
+    """Closest-edge kNN with a max_distance option (reference options
+    parity, s2closest_edge_query.d:199-272): fewer than k results at the
+    limit is a complete answer."""
+    e = _edges(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count() - 1
+    res = knn.knn_edges_join(
+        e,
+        demo.knn_queries(),
+        k=5,
+        n_edges_hint=n,
+        max_distance_deg=1.0,
+        registered_df=_edges_registered(spark, sf_dir),
+    )
+    return res.select("query_id", "rank", "edge_id")
+
+
+def _q_furthest(spark, sf_dir):
+    """k furthest points per query (max-distance family) via the exact
+    antipodal reduction chord2(p,q) = 4 - chord2(p,-q)."""
+    pts = _points(spark, sf_dir)
+    n = pts.count()
+    res = knn.furthest_points_join(
+        pts, demo.knn_queries(), k=5, n_points_hint=n, tie_col="point_id"
+    )
+    return res.select("query_id", "rank", "point_id")
+
+
 def _crossing_targets():
     wp = demo.POLYLINE_WAYPOINTS
     return [(f"t{i}", wp[i], wp[i + 1]) for i in range(len(wp) - 1)]
@@ -346,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_antijoin": _q_spatial_antijoin,
         "knn_join": _q_knn,
         "knn_edges_join": _q_knn_edges,
+        "knn_edges_maxdist": _q_knn_edges_maxdist,
+        "furthest_join": _q_furthest,
+        "nearest_polyline_join": _q_nearest_polyline,
         "crossing_edges_join": _q_crossing_edges,
         "within_distance_join": _q_within_distance,
         "within_distance_polyline": _q_within_polyline,
@@ -474,6 +537,96 @@ SELECT query_id, rank, edge_id FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, edge_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+
+def _knn_edges_maxdist_sql() -> str:
+    import math as _math
+
+    from s2geometry_d_spark.functions import edgedist
+    from s2geometry_d_spark.s2core.regions import chord2_from_radians
+
+    r2 = chord2_from_radians(_math.radians(1.0))
+    a_cols = ",\n       ".join(edgedist.xyz_exprs("alat", "alng", "a"))
+    b_cols = ",\n       ".join(edgedist.xyz_exprs("blat", "blng", "b"))
+    inner = (
+        f"SELECT query_id, edge_id, qx, qy, qz,\n       {a_cols},\n       {b_cols}\n"
+        "FROM e CROSS JOIN q"
+    )
+    scored = edgedist.dist2_select_sql(inner, "query_id, edge_id")
+    return f"""
+WITH points AS ({demo.points_cte()}),
+edges_all AS (
+  SELECT point_id AS edge_id, lat AS alat, lng AS alng,
+         lead(lat) OVER ({_EDGE_ORDER}) AS blat,
+         lead(lng) OVER ({_EDGE_ORDER}) AS blng
+  FROM points
+),
+e AS (SELECT * FROM edges_all WHERE blat IS NOT NULL),
+q AS (SELECT * FROM {demo.knn_queries_values_sql()}),
+scored AS ({scored})
+SELECT query_id, rank, edge_id FROM (
+  SELECT query_id, edge_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, edge_id ASC) AS rank
+  FROM scored WHERE dist2 <= {r2!r}
+) WHERE rank <= 5
+"""
+
+
+def _furthest_sql() -> str:
+    return f"""
+WITH points AS ({demo.points_cte()}),
+q AS (SELECT * FROM {demo.knn_queries_values_sql()}),
+scored AS (
+  SELECT q.query_id, p.point_id,
+         (cos(radians(p.lng))*cos(radians(p.lat)) - q.qx)*(cos(radians(p.lng))*cos(radians(p.lat)) - q.qx)
+       + (sin(radians(p.lng))*cos(radians(p.lat)) - q.qy)*(sin(radians(p.lng))*cos(radians(p.lat)) - q.qy)
+       + (sin(radians(p.lat)) - q.qz)*(sin(radians(p.lat)) - q.qz) AS dist2
+  FROM points p CROSS JOIN q
+)
+SELECT query_id, rank, point_id FROM (
+  SELECT query_id, point_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist2 DESC, point_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _nearest_polyline_sql() -> str:
+    from s2geometry_d_spark.functions import edgedist
+
+    a_cols = ",\n       ".join(edgedist.xyz_exprs("alat", "alng", "a"))
+    b_cols = ",\n       ".join(edgedist.xyz_exprs("blat", "blng", "b"))
+    inner = (
+        f"SELECT query_id, polyline_id, qx, qy, qz,\n       {a_cols},\n       {b_cols}\n"
+        "FROM pe CROSS JOIN q"
+    )
+    scored = edgedist.dist2_select_sql(inner, "query_id, polyline_id")
+    return f"""
+WITH points AS ({demo.points_cte()}),
+edges_all AS (
+  SELECT point_id AS edge_id, lat AS alat, lng AS alng,
+         lead(lat) OVER ({_EDGE_ORDER}) AS blat,
+         lead(lng) OVER ({_EDGE_ORDER}) AS blng
+  FROM points
+),
+e AS (SELECT * FROM edges_all WHERE blat IS NOT NULL),
+pe AS (
+  SELECT *, CAST(floor((row_number() OVER (ORDER BY floor(alat), alng, edge_id) - 1)
+                 / {_POLYLINE_CHAIN}) AS BIGINT) AS polyline_id
+  FROM e
+),
+q AS (SELECT * FROM {demo.knn_queries_values_sql()}),
+scored AS ({scored}),
+agg AS (
+  SELECT query_id, polyline_id, min(dist2) AS dist2
+  FROM scored GROUP BY query_id, polyline_id
+)
+SELECT query_id, rank, polyline_id, round(dist2, 9) AS dist2 FROM (
+  SELECT query_id, polyline_id, dist2,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, polyline_id ASC) AS rank
+  FROM agg
+) WHERE rank <= 3
 """
 
 
@@ -822,6 +975,9 @@ def oracle_sql() -> dict[str, str]:
         "spatial_antijoin": _spatial_antijoin_sql(),
         "knn_join": _knn_sql(),
         "knn_edges_join": _knn_edges_sql(),
+        "knn_edges_maxdist": _knn_edges_maxdist_sql(),
+        "furthest_join": _furthest_sql(),
+        "nearest_polyline_join": _nearest_polyline_sql(),
         "crossing_edges_join": _crossing_edges_sql(),
         "dedup_exact": (
             "WITH corpus AS (SELECT doc_id, text FROM documents "

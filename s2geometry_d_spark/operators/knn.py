@@ -374,6 +374,86 @@ def knn_edges_join(
     return results
 
 
+def knn_edges_join_with_interiors(
+    edges_df: DataFrame,
+    queries: list[tuple[str, float, float]],
+    k: int,
+    interior_shapes: list[tuple[str, object]],
+    **kwargs,
+) -> DataFrame:
+    """include_interiors option parity (s2closest_edge_query_base.d:376-388):
+    shapes (polygons) CONTAINING the query point yield zero-distance results
+    that consume result slots ahead of any edge.
+
+    ``interior_shapes``: [(shape_id, Polygon)] — the dimension side (tiny,
+    driver-tested).  Returns (query_id, rank, dist2, shape_id, <edge cols>)
+    where interior hits carry shape_id and null edge columns; rank 1..k over
+    the union of interior hits (dist2=0, ordered by shape_id) and edges.
+    """
+    from ..s2core.regions import latlng_point
+
+    spark = edges_df.sparkSession
+    zero_rows = []
+    for qid, lat, lng in queries:
+        p = latlng_point(lat, lng)
+        for sid, poly in interior_shapes:
+            if poly.contains_point(p):
+                zero_rows.append((qid, sid))
+
+    res = knn_edges_join(edges_df, queries, k, **kwargs).withColumn(
+        "shape_id", F.lit(None).cast("string")
+    )
+    if zero_rows:
+        zdf = spark.createDataFrame(zero_rows, ["query_id", "shape_id"]).withColumn(
+            "dist2", F.lit(0.0)
+        )
+        res = res.drop("rank").unionByName(zdf, allowMissingColumns=True)
+    else:
+        res = res.drop("rank")
+    # interior hits sort first (dist2 0, shape_id set); among equals the
+    # shape order, then edges by (dist2, edge_id)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(),
+        F.col("shape_id").asc_nulls_last(),
+        F.col(kwargs.get("edge_id_col", "edge_id")).asc_nulls_last(),
+    )
+    return res.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def furthest_points_join(
+    points_df: DataFrame,
+    queries: list[tuple[str, float, float]],
+    k: int,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    cell_col: str = "cell_id",
+    n_points_hint: int | None = None,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """k FURTHEST points per query (the reference's max-distance side,
+    s2furthest_edge_query over updateMaxDistance, s2edge_distances.d:59-106).
+
+    Exact antipodal reduction: chord2(p, q) + chord2(p, -q) = 4 for unit
+    vectors, so the k furthest points from q are the k nearest to -q, with
+    identical ordering and tie-breaks — one line on top of knn_join, reusing
+    its ring expansion, completeness proof and brute-force fallback.
+    Returns (query_id, rank, dist2, <point columns>) with dist2 the TRUE
+    (furthest) squared chord, rank 1..k by (dist2 desc, tie asc).
+    """
+    anti = [(qid, -lat, lng + 180.0 if lng <= 0 else lng - 180.0) for qid, lat, lng in queries]
+    res = knn_join(
+        points_df,
+        anti,
+        k,
+        lat_col=lat_col,
+        lng_col=lng_col,
+        cell_col=cell_col,
+        n_points_hint=n_points_hint,
+        tie_col=tie_col,
+    )
+    return res.withColumn("dist2", F.lit(4.0) - F.col("dist2"))
+
+
 def knn_edges_brute_force(
     edges_df: DataFrame,
     queries: list[tuple[str, float, float]],

@@ -1,0 +1,167 @@
+"""Polyline-TABLE joins: polylines as a first-class distributed side.
+
+Round-2 gap (VERDICT #10): polylines existed only as broadcast query-side
+regions; a TABLE of polylines (each row group a different polyline) had no
+join path.  This generalizes the closest-edge machinery: the table arrives
+as edge rows carrying a ``polyline_id`` column, every edge registers under
+its bounding-cap cell-union bound (knn.register_edges — the shared index
+artifact), and a per-(query, polyline) MIN-aggregation collapses edge
+distances to polyline distances before the top-k window.
+
+Reference analogue: S2ClosestEdgeQuery with ShapeIndex targets over a
+multi-shape index (s2closest_edge_query.d:199-272, one shape per polyline);
+distributed, "shape" becomes a group key, and the best-first contraction
+becomes the same shrinking-frontier ring expansion as knn_edges_join.
+
+Completeness per round: a polyline's distance is the min over its edges;
+if >= k polylines have an in-ring edge, their per-polyline minima are exact
+(any edge outside the ring is farther than the ring radius >= the k-th
+distance), so the top-k is proven — the same argument as edge kNN, lifted
+through the min-aggregation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..s2core.regions import Cap, chord2_from_radians
+from .knn import _xyz, register_edges
+from .spatial_join import candidate_match_kernel, compute_coverings
+
+
+def nearest_polyline_join(
+    edges_df: DataFrame,
+    queries: list[tuple[str, float, float]],
+    k: int,
+    polyline_col: str = "polyline_id",
+    edge_id_col: str = "edge_id",
+    initial_radius_deg: float | None = None,
+    max_rounds: int = 6,
+    n_polylines_hint: int | None = None,
+    registered_df: DataFrame | None = None,
+) -> DataFrame:
+    """k nearest POLYLINES to each query point.
+
+    ``edges_df``: (polyline_id, edge_id, alat, alng, blat, blng) — one row
+    per polyline edge.  Returns (query_id, rank, polyline_id, dist2) with
+    rank 1..k by (min edge dist2, polyline_id).
+    """
+    from ..functions import edgedist
+
+    spark = edges_df.sparkSession
+
+    if initial_radius_deg is None:
+        n = n_polylines_hint or 1_000
+        frac = min(1.0, 4.0 * k / max(n, 1))
+        initial_radius_deg = max(0.5, math.degrees(2.0 * math.asin(math.sqrt(frac))))
+
+    registered = registered_df if registered_df is not None else register_edges(edges_df)
+
+    def _score(cand: DataFrame, qdf: DataFrame) -> DataFrame:
+        cand = cand.join(F.broadcast(qdf), "query_id")
+        for expr in edgedist.xyz_exprs("alat", "alng", "a"):
+            cand = cand.selectExpr("*", expr)
+        for expr in edgedist.xyz_exprs("blat", "blng", "b"):
+            cand = cand.selectExpr("*", expr)
+        return edgedist.with_dist2(cand).drop("ax", "ay", "az", "bx", "by", "bz")
+
+    def _topk(scored: DataFrame) -> DataFrame:
+        agg = scored.groupBy("query_id", polyline_col).agg(
+            F.min("dist2").alias("dist2")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist2").asc(), F.col(polyline_col).asc()
+        )
+        return agg.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+    pending = {qid: (lat, lng) for qid, lat, lng in queries}
+    radius = {qid: initial_radius_deg for qid in pending}
+    done_rows: list = []
+    topk_schema = None
+    brute: dict = {}
+
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        regions = [
+            (qid, Cap.from_latlng_radius(lat, lng, min(radius[qid], 170.0)))
+            for qid, (lat, lng) in pending.items()
+        ]
+        coverings = compute_coverings(regions, max_cells=24)
+        cand = candidate_match_kernel(
+            registered, coverings, cell_col="ecell", two_way=True
+        ).drop("is_interior", "ecell")
+        cand = cand.withColumnRenamed("region_id", "query_id").dropDuplicates(
+            ["query_id", edge_id_col]
+        )
+        qrows = [
+            (qid, *_xyz(lat, lng), chord2_from_radians(math.radians(min(radius[qid], 170.0))))
+            for qid, (lat, lng) in pending.items()
+        ]
+        qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz", "r2"])
+        scored = _score(cand, qdf).filter(F.col("dist2") <= F.col("r2"))
+        topk = _topk(scored.drop("qx", "qy", "qz", "r2"))
+
+        rows = topk.collect()  # tiny: <= |pending| * k (see knn_join)
+        topk_schema = topk.schema
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid in list(pending):
+            got = by_q.get(qid, [])
+            if len(got) >= k:
+                done_rows.extend(got)
+                del pending[qid]
+            elif radius[qid] >= 170.0:
+                # clamped and short of k (antipodal residue): brute-force
+                brute[qid] = pending.pop(qid)
+            else:
+                radius[qid] = radius[qid] * 2.0
+
+    pending.update(brute)
+    results = (
+        spark.createDataFrame(done_rows, topk_schema)
+        if topk_schema is not None
+        else None
+    )
+
+    if pending:
+        qrows = [(qid, *_xyz(lat, lng)) for qid, (lat, lng) in pending.items()]
+        qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz"])
+        cand = edges_df.crossJoin(
+            F.broadcast(spark.createDataFrame([(q,) for q in pending], ["query_id"]))
+        )
+        topk = _topk(_score(cand, qdf).drop("qx", "qy", "qz"))
+        results = topk if results is None else results.unionByName(topk)
+
+    return results
+
+
+def polyline_brute_force(
+    edges_df: DataFrame,
+    queries: list[tuple[str, float, float]],
+    k: int,
+    polyline_col: str = "polyline_id",
+) -> DataFrame:
+    """Oracle: exact cross-join min-per-polyline top-k."""
+    from ..functions import edgedist
+
+    spark = edges_df.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, *_xyz(lat, lng)) for qid, lat, lng in queries],
+        ["query_id", "qx", "qy", "qz"],
+    )
+    cand = edges_df.crossJoin(F.broadcast(qdf))
+    for expr in edgedist.xyz_exprs("alat", "alng", "a"):
+        cand = cand.selectExpr("*", expr)
+    for expr in edgedist.xyz_exprs("blat", "blng", "b"):
+        cand = cand.selectExpr("*", expr)
+    scored = edgedist.with_dist2(cand)
+    agg = scored.groupBy("query_id", polyline_col).agg(F.min("dist2").alias("dist2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col(polyline_col).asc()
+    )
+    return agg.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

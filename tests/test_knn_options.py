@@ -1,0 +1,137 @@
+"""Closest-edge query OPTIONS parity + polyline-table joins + furthest
+queries, each pinned against its brute-force oracle (the reference's
+setUseBruteForce discipline, s2closest_edge_query_test.d:380-416)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from s2geometry_d_spark.functions import kernels
+from s2geometry_d_spark.operators import knn
+from s2geometry_d_spark.operators.polyline_join import (
+    nearest_polyline_join,
+    polyline_brute_force,
+)
+from s2geometry_d_spark.s2core.loops import Loop, Polygon
+from s2geometry_d_spark.s2core.regions import chord2_from_radians
+
+QUERIES = [
+    ("q1", 10.0, 20.0),
+    ("q2", -45.0, 100.0),
+    ("q3", 88.0, 0.0),
+    ("q4", 0.0, 179.8),
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    rnd = random.Random(31)
+    rows = []
+    for i in range(4000):
+        lat = math.degrees(math.asin(rnd.uniform(-1, 1)))
+        lng = rnd.uniform(-180, 180)
+        rows.append(
+            (
+                i,
+                i // 40,  # 100 polylines of 40 edges
+                lat,
+                lng,
+                max(-89.0, min(89.0, lat + rnd.uniform(-2, 2))),
+                lng + rnd.uniform(-2, 2),
+            )
+        )
+    return spark.createDataFrame(
+        rows, ["edge_id", "polyline_id", "alat", "alng", "blat", "blng"]
+    ).persist()
+
+
+def test_nearest_polyline_matches_brute_force(spark, edges):
+    got = {
+        (r["query_id"], r["rank"]): (r["polyline_id"], r["dist2"])
+        for r in nearest_polyline_join(
+            edges, QUERIES, k=4, n_polylines_hint=100
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["polyline_id"], r["dist2"])
+        for r in polyline_brute_force(edges, QUERIES, k=4).collect()
+    }
+    assert got == want
+
+
+def test_knn_edges_max_distance_is_a_filtered_topk(spark, edges):
+    r_deg = 2.0
+    r2 = chord2_from_radians(math.radians(r_deg))
+    got = knn.knn_edges_join(
+        edges, QUERIES, k=5, n_edges_hint=4000, max_distance_deg=r_deg
+    ).collect()
+    brute = knn.knn_edges_brute_force(edges, QUERIES, k=4000).collect()
+    want = {}
+    for q, _, _ in QUERIES:
+        hits = sorted(
+            [(r["dist2"], r["edge_id"]) for r in brute if r["query_id"] == q and r["dist2"] <= r2]
+        )[:5]
+        want[q] = [e for _, e in hits]
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_by_q.setdefault(r["query_id"], []).append(r["edge_id"])
+        assert r["dist2"] <= r2
+    assert got_by_q == {q: v for q, v in want.items() if v}
+
+
+def test_include_interiors_zero_distance_hits(spark, edges):
+    # a polygon containing q1 and one containing nobody
+    polys = [
+        ("around_q1", Polygon([Loop.make_regular(10.0, 20.0, 5.0, 16)], "a")),
+        ("elsewhere", Polygon([Loop.make_regular(-70.0, -120.0, 3.0, 16)], "b")),
+    ]
+    res = knn.knn_edges_join_with_interiors(
+        edges, QUERIES, k=3, interior_shapes=polys, n_edges_hint=4000
+    ).collect()
+    by_q = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    # q1: rank 1 is the zero-distance interior hit, then the 2 nearest edges
+    q1 = by_q["q1"]
+    assert q1[0]["shape_id"] == "around_q1" and q1[0]["dist2"] == 0.0
+    brute = knn.knn_edges_brute_force(edges, [QUERIES[0]], k=2).collect()
+    assert [r["edge_id"] for r in q1[1:]] == [r["edge_id"] for r in sorted(brute, key=lambda r: r["rank"])]
+    # others: pure edge results, no interior rows
+    for q in ("q2", "q3", "q4"):
+        assert all(r["shape_id"] is None for r in by_q[q])
+        assert len(by_q[q]) == 3
+
+
+def test_furthest_points_matches_brute_force(spark):
+    rnd = random.Random(7)
+    rows = [
+        (
+            i,
+            math.degrees(math.asin(rnd.uniform(-1, 1))),
+            rnd.uniform(-180, 180),
+        )
+        for i in range(3000)
+    ]
+    pts = spark.createDataFrame(rows, ["point_id", "lat", "lng"])
+    pts = pts.withColumn("cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng")))
+    got = {
+        (r["query_id"], r["rank"]): r["point_id"]
+        for r in knn.furthest_points_join(
+            pts, QUERIES, k=5, n_points_hint=3000, tie_col="point_id"
+        ).collect()
+    }
+    # brute force: direct distances, DESC
+    brute = knn.knn_brute_force(pts, QUERIES, k=3000, tie_col="point_id").collect()
+    want = {}
+    for q, _, _ in QUERIES:
+        far = sorted(
+            [(r["dist2"], r["point_id"]) for r in brute if r["query_id"] == q],
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        for i, (_, pid) in enumerate(far):
+            want[(q, i + 1)] = pid
+    assert got == want
