@@ -1,0 +1,63 @@
+"""Distributed polygon boolean overlay (reference s2boolean_operation.d).
+
+The overlay kernel (s2core/boolean.py) runs per polygon PAIR inside an
+``applyInPandas`` group — the dimension-side parallel pattern: a table of
+polygon pairs (millions at production scale) fans out across executors,
+each group stitching its own result loops.  Output is one row per result
+vertex, which the driver's DuckDB oracle re-derives independently for
+convex pairs (vertex-in-polygon by per-edge determinant signs + crossing
+points from the two great-circle normals — closed-form SQL, no trig).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..s2core.boolean import overlay
+from ..s2core.loops import Loop, Polygon
+
+PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("pair_id", T.IntegerType(), False),
+        T.StructField("a_verts", T.ArrayType(T.ArrayType(T.DoubleType())), False),
+        T.StructField("b_verts", T.ArrayType(T.ArrayType(T.DoubleType())), False),
+    ]
+)
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("pair_id", T.IntegerType(), False),
+        T.StructField("vx", T.DoubleType(), False),
+        T.StructField("vy", T.DoubleType(), False),
+        T.StructField("vz", T.DoubleType(), False),
+    ]
+)
+
+
+def pairs_dataframe(spark: SparkSession, pairs) -> DataFrame:
+    """pairs: [(pair_id, [xyz...], [xyz...])] -> DataFrame."""
+    rows = [
+        (pid, [list(v) for v in av], [list(v) for v in bv]) for pid, av, bv in pairs
+    ]
+    return spark.createDataFrame(rows, PAIR_SCHEMA)
+
+
+def overlay_vertices(pairs_df: DataFrame, op: str) -> DataFrame:
+    """One row per result-loop vertex of op(A, B) per pair — the boundary
+    computation the oracle verifies (vertex multiset; areas and loop
+    structure are pinned by the pytest invariants)."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            a = Polygon([Loop([tuple(v) for v in row["a_verts"]])], "a")
+            b = Polygon([Loop([tuple(v) for v in row["b_verts"]])], "b")
+            for loop in overlay(a, b, op):
+                for v in loop:
+                    out.append((row["pair_id"], v[0], v[1], v[2]))
+        return pd.DataFrame(out, columns=["pair_id", "vx", "vy", "vz"])
+
+    return pairs_df.groupBy("pair_id").applyInPandas(run, OUT_SCHEMA)

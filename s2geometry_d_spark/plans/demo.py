@@ -173,6 +173,131 @@ WHERE e.nx*s.px + e.ny*s.py + e.nz*s.pz > 0
 """
 
 
+# -- polygon-overlay pair fixture ------------------------------------------
+# Deterministic CONVEX pairs (regular n-gons, offset centers => proper
+# overlap, generic position): convexity is what makes the DuckDB oracle
+# closed-form (vertex-in-polygon = all edge-determinant signs positive),
+# while the engine's overlay kernel uses the parity PIP — two independent
+# methods that must agree on the boundary vertex multiset.
+OVERLAY_N_A = 12
+OVERLAY_N_B = 16
+OVERLAY_PAIRS = 12
+
+
+def overlay_pair_specs():
+    out = []
+    for k in range(OVERLAY_PAIRS):
+        lat_a = -33.0 + 6.0 * k
+        lng_a = 15.0 * k - 80.0
+        r_a = 6.0 + (k % 3)
+        lat_b = lat_a + 0.6 * r_a
+        lng_b = lng_a + 0.7 * r_a
+        r_b = 5.0 + (k % 4)
+        out.append((k, (lat_a, lng_a, r_a, OVERLAY_N_A), (lat_b, lng_b, r_b, OVERLAY_N_B)))
+    return out
+
+
+def overlay_pairs():
+    """[(pair_id, a_vertices_xyz, b_vertices_xyz)] — vertex lists shared
+    verbatim (as literals) with the SQL oracle."""
+    return [
+        (k, Loop.make_regular(*a).vertices, Loop.make_regular(*b).vertices)
+        for k, a, b in overlay_pair_specs()
+    ]
+
+
+def overlay_intersection_sql() -> str:
+    """Vertex multiset of A∩B per pair, derived INDEPENDENTLY of the
+    engine's overlay walk: retained vertices by convex det-sign containment,
+    crossing points from the two great-circle normals (same expression
+    order as s2core.boolean.edge_intersection, so doubles agree bitwise)."""
+    def lit(x: float) -> str:
+        # exponent form forces DOUBLE (plain decimals parse as DECIMAL in
+        # DuckDB and poison downstream arithmetic); .17e round-trips exactly
+        return format(x, ".17e")
+
+    av_rows, bv_rows = [], []
+    for k, averts, bverts in overlay_pairs():
+        for j, v in enumerate(averts):
+            av_rows.append(f"({k}, {j}, {lit(v[0])}, {lit(v[1])}, {lit(v[2])})")
+        for j, v in enumerate(bverts):
+            bv_rows.append(f"({k}, {j}, {lit(v[0])}, {lit(v[1])}, {lit(v[2])})")
+    na, nb = OVERLAY_N_A, OVERLAY_N_B
+    return f"""
+WITH av(pair_id, j, x, y, z) AS (VALUES {", ".join(av_rows)}),
+bv(pair_id, j, x, y, z) AS (VALUES {", ".join(bv_rows)}),
+ae AS (
+  SELECT p.pair_id, p.j, p.x AS ax, p.y AS ay, p.z AS az,
+         q.x AS bx, q.y AS by, q.z AS bz
+  FROM av p JOIN av q ON q.pair_id = p.pair_id AND q.j = (p.j + 1) % {na}
+),
+be AS (
+  SELECT p.pair_id, p.j, p.x AS cx, p.y AS cy, p.z AS cz,
+         q.x AS dx, q.y AS dy, q.z AS dz
+  FROM bv p JOIN bv q ON q.pair_id = p.pair_id AND q.j = (p.j + 1) % {nb}
+),
+a_in_b AS (
+  SELECT v.pair_id, v.x, v.y, v.z
+  FROM av v JOIN be e ON e.pair_id = v.pair_id
+  GROUP BY v.pair_id, v.j, v.x, v.y, v.z
+  HAVING min((e.cy*e.dz - e.cz*e.dy)*v.x + (e.cz*e.dx - e.cx*e.dz)*v.y + (e.cx*e.dy - e.cy*e.dx)*v.z) > 0
+),
+b_in_a AS (
+  SELECT v.pair_id, v.x, v.y, v.z
+  FROM bv v JOIN ae e ON e.pair_id = v.pair_id
+  GROUP BY v.pair_id, v.j, v.x, v.y, v.z
+  HAVING min((e.ay*e.bz - e.az*e.by)*v.x + (e.az*e.bx - e.ax*e.bz)*v.y + (e.ax*e.by - e.ay*e.bx)*v.z) > 0
+),
+pairs AS (
+  SELECT ae.pair_id,
+         ae.ax, ae.ay, ae.az, ae.bx, ae.by, ae.bz,
+         be.cx, be.cy, be.cz, be.dx, be.dy, be.dz,
+         ae.ay*ae.bz - ae.az*ae.by AS n1x,
+         ae.az*ae.bx - ae.ax*ae.bz AS n1y,
+         ae.ax*ae.by - ae.ay*ae.bx AS n1z,
+         be.cy*be.dz - be.cz*be.dy AS n2x,
+         be.cz*be.dx - be.cx*be.dz AS n2y,
+         be.cx*be.dy - be.cy*be.dx AS n2z
+  FROM ae JOIN be ON be.pair_id = ae.pair_id
+),
+crossing AS (
+  SELECT *,
+         n1x*cx + n1y*cy + n1z*cz AS d1,
+         n1x*dx + n1y*dy + n1z*dz AS d2,
+         n2x*ax + n2y*ay + n2z*az AS d3,
+         n2x*bx + n2y*by + n2z*bz AS d4
+  FROM pairs
+),
+xpt AS (
+  SELECT pair_id,
+         n1y*n2z - n1z*n2y AS xx,
+         n1z*n2x - n1x*n2z AS xy,
+         n1x*n2y - n1y*n2x AS xz,
+         ax, ay, az, bx, by, bz
+  FROM crossing
+  WHERE d1*d2 < 0 AND d1*d3 < 0 AND d1*d4 > 0
+),
+xsigned AS (
+  SELECT pair_id,
+         CASE WHEN xx*(ax+bx) + xy*(ay+by) + xz*(az+bz) < 0 THEN -xx ELSE xx END AS sx,
+         CASE WHEN xx*(ax+bx) + xy*(ay+by) + xz*(az+bz) < 0 THEN -xy ELSE xy END AS sy,
+         CASE WHEN xx*(ax+bx) + xy*(ay+by) + xz*(az+bz) < 0 THEN -xz ELSE xz END AS sz
+  FROM xpt
+),
+allv AS (
+  SELECT pair_id, x, y, z FROM a_in_b
+  UNION ALL
+  SELECT pair_id, x, y, z FROM b_in_a
+  UNION ALL
+  SELECT pair_id, sx / sqrt(sx*sx + sy*sy + sz*sz),
+         sy / sqrt(sx*sx + sy*sy + sz*sz),
+         sz / sqrt(sx*sx + sy*sy + sz*sz)
+  FROM xsigned
+)
+SELECT pair_id, round(x, 6) AS vx, round(y, 6) AS vy, round(z, 6) AS vz FROM allv
+"""
+
+
 # -- polyline fixture (a Paris -> Tokyo "route") ---------------------------
 POLYLINE_WAYPOINTS = [
     (48.85, 2.35),

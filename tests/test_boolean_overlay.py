@@ -1,0 +1,166 @@
+"""Polygon boolean overlay adversaries (reference s2boolean_operation.d
+semantics) + S2ContainsVertexQuery.
+
+Invariants pinned: inclusion-exclusion on areas, difference consistency,
+membership sampling (a point is in op(A,B) iff the boolean of memberships
+says so), annulus (hole) handling, containment/disjoint degenerate paths.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from s2geometry_d_spark.s2core import boolean as B
+from s2geometry_d_spark.s2core import predicates as pred
+from s2geometry_d_spark.s2core.loops import Loop, Polygon
+from s2geometry_d_spark.s2core.regions import latlng_point, normalize
+
+
+def _area(loops):
+    return B.loops_signed_area(loops)
+
+
+def _poly_area(p: Polygon) -> float:
+    return _area([lp.vertices for lp in p.loops])
+
+
+def _result_polygon(loops):
+    """Interior-left containment of an overlay result (results may carry CW
+    hole loops, so the Polygon class's disc-parity even-odd doesn't apply)."""
+    return B.ILRegion.from_loops(loops) if loops else None
+
+
+def _sample_points(rnd, n=400):
+    pts = []
+    for _ in range(n):
+        lat = math.degrees(math.asin(rnd.uniform(-1, 1)))
+        lng = rnd.uniform(-180, 180)
+        pts.append(latlng_point(lat, lng))
+    return pts
+
+
+OPS = {
+    "intersection": lambda a, b: a and b,
+    "union": lambda a, b: a or b,
+    "difference": lambda a, b: a and not b,
+}
+
+
+@pytest.mark.parametrize("seed", [3, 17, 42])
+def test_overlay_membership_and_areas(seed):
+    rnd = random.Random(seed)
+    a = Polygon([Loop.make_regular(rnd.uniform(-40, 40), rnd.uniform(-150, 150), rnd.uniform(5, 15), 20)], "a")
+    # overlapping but not concentric
+    ca = a.loops[0].vertices[0]
+    lat0 = math.degrees(math.asin(ca[2]))
+    lng0 = math.degrees(math.atan2(ca[1], ca[0]))
+    b = Polygon([Loop.make_regular(lat0 + 2.0, lng0 + 3.0, rnd.uniform(4, 12), 14)], "b")
+
+    res = {op: B.overlay(a, b, op) for op in OPS}
+    aa, ab = _poly_area(a), _poly_area(b)
+    ai, au, ad = (_area(res[o]) for o in ("intersection", "union", "difference"))
+    assert abs(aa + ab - au - ai) < 1e-12
+    assert abs(ad - (aa - ai)) < 1e-12
+
+    # dense local sampling near both polygons for membership checks
+    pts = []
+    r = random.Random(seed + 1)
+    for _ in range(600):
+        pts.append(
+            latlng_point(lat0 + r.uniform(-25, 25), lng0 + r.uniform(-25, 25))
+        )
+    for op, rule in OPS.items():
+        rp = _result_polygon(res[op])
+        for p in pts:
+            want = rule(a.contains_point(p), b.contains_point(p))
+            got = bool(rp and rp.contains_point(p))
+            assert got == want
+
+
+def test_annulus_times_disc():
+    """A = annulus (shell + hole), B = disc overlapping the hole edge:
+    the intersection must exclude the hole interior."""
+    shell = Loop.make_regular(0.0, 0.0, 20.0, 24)
+    hole = Loop(list(reversed(Loop.make_regular(0.0, 0.0, 8.0, 18).vertices)))
+    annulus = Polygon([shell, hole], "annulus")
+    disc = Polygon([Loop.make_regular(0.0, 10.0, 9.0, 16)], "disc")
+
+    inter = B.overlay(annulus, disc, "intersection")
+    rp = _result_polygon(inter)
+    # hole center region is NOT in the intersection even though disc covers
+    # part of it; ring region inside disc is
+    assert not rp.contains_point(latlng_point(0.0, 4.0))  # inside hole & disc
+    assert rp.contains_point(latlng_point(0.0, 12.0))  # ring & disc
+    assert not rp.contains_point(latlng_point(0.0, -15.0))  # ring, not disc
+    # area: sampled membership vs signed area consistency
+    ai = _area(inter)
+    assert 0 < ai < _poly_area(disc)
+
+
+def test_disjoint_and_contained_paths():
+    a = Polygon([Loop.make_regular(10.0, 10.0, 6.0, 12)], "a")
+    far = Polygon([Loop.make_regular(-50.0, 120.0, 6.0, 12)], "b")
+    small = Polygon([Loop.make_regular(10.0, 10.0, 2.0, 12)], "c")
+
+    assert B.overlay(a, far, "intersection") == []
+    assert len(B.overlay(a, far, "union")) == 2
+    assert abs(_area(B.overlay(a, small, "intersection")) - _poly_area(small)) < 1e-14
+    d = B.overlay(a, small, "difference")
+    assert len(d) == 2  # shell + hole
+    assert abs(_area(d) - (_poly_area(a) - _poly_area(small))) < 1e-14
+    # union with contained polygon is just A
+    u = B.overlay(a, small, "union")
+    assert abs(_area(u) - _poly_area(a)) < 1e-14
+
+
+def test_contains_vertex_query():
+    """s2contains_vertex_query.d semantics at a shared vertex: the
+    unmatched incident direction last-in-CCW from ortho(v) decides."""
+    v = latlng_point(10.0, 10.0)
+    loop = Loop.make_regular(10.0, 10.0, 5.0, 12)
+    # build a loop that PASSES THROUGH v: replace nearest vertex with v
+    verts = list(loop.vertices)
+    j = min(range(len(verts)), key=lambda i: sum((verts[i][k] - v[k]) ** 2 for k in range(3)))
+    verts[j] = v
+    lp = Loop(verts)
+    prev_v = verts[(j - 1) % len(verts)]
+    next_v = verts[(j + 1) % len(verts)]
+    # region = the loop interior; incident edges at v: incoming from prev,
+    # outgoing to next
+    sign = B.contains_vertex_sign(v, [(prev_v, -1), (next_v, +1)])
+    assert sign in (-1, 1)
+    # cross-check against parity containment of points displaced slightly
+    # inside/outside: the query decides the vertex itself consistently with
+    # the loop's semi-open containment of a nudged interior point
+    centroid = normalize(
+        tuple(sum(c[k] for c in verts) / len(verts) for k in range(3))
+    )
+    nudged_in = normalize(tuple(v[k] + 1e-6 * (centroid[k] - v[k]) for k in range(3)))
+    nudged_out = normalize(tuple(v[k] - 1e-6 * (centroid[k] - v[k]) for k in range(3)))
+    assert lp.contains_point(nudged_in)
+    assert not lp.contains_point(nudged_out)
+    # matched edges (boundary passing straight through) -> 0
+    assert B.contains_vertex_sign(v, [(prev_v, -1), (prev_v, +1)]) == 0
+
+
+def test_shared_vertex_touch_union_area():
+    """Two polygons sharing exactly one vertex (tangent): union area equals
+    the sum (intersection has measure zero).  The overlay's crossing_sign
+    returns 0 at the shared vertex, so no subdivision happens there and the
+    two boundaries stitch as separate loops."""
+    a = Polygon([Loop.make_regular(10.0, 10.0, 5.0, 12)], "a")
+    # reflect: polygon tangent at a's easternmost vertex
+    va = max(a.loops[0].vertices, key=lambda p: p[1])
+    lat = math.degrees(math.asin(va[2]))
+    lng = math.degrees(math.atan2(va[1], va[0]))
+    b_loop = Loop.make_regular(lat, lng + 5.0, 5.0, 12)
+    # force exact shared vertex
+    verts = list(b_loop.vertices)
+    j = min(range(len(verts)), key=lambda i: sum((verts[i][k] - va[k]) ** 2 for k in range(3)))
+    verts[j] = va
+    b = Polygon([Loop(verts)], "b")
+    u = B.overlay(a, b, "union")
+    assert abs(_area(u) - (_poly_area(a) + _poly_area(b))) < 1e-9
