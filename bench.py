@@ -36,6 +36,11 @@ EXTRA = [
     "cell_roundtrip",
     "within_distance_polyline",
     "crossing_edges_join",
+    "knn_edges_maxdist",
+    "furthest_join",
+    "nearest_polyline_join",
+    "polygon_overlay",
+    "tile_containment_check",
     "group_rect_bounds",
     "cell_area_stats",
     "dedup_minhash_lsh",

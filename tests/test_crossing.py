@@ -66,3 +66,57 @@ def test_crossing_sign_pairs_matches_scalar():
         assert vec[i] == pred.crossing_sign(
             tuple(A[i]), tuple(B[i]), tuple(C[i]), tuple(D[i])
         ), i
+
+
+def test_fixture_dets_clear_triage_band():
+    """ADVICE guard: the crossing oracle uses raw float det-sign products
+    ('exact only in generic position') while the engine runs the
+    triage->exact cascade.  Assert that NO (fixture edge, target) det falls
+    inside the triage uncertainty band, so both methods provably agree on
+    this data.  Uses the sf0.01 fixture edges (the driver's gate scale)."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from s2geometry_d_spark.s2core import coords
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/orders.parquet')"
+    )
+    from s2geometry_d_spark.plans import demo
+
+    rows = con.execute(
+        f"""WITH points AS ({demo.points_cte()}),
+        edges_all AS (
+          SELECT point_id AS edge_id, lat AS alat, lng AS alng,
+                 lead(lat) OVER ({E._EDGE_ORDER}) AS blat,
+                 lead(lng) OVER ({E._EDGE_ORDER}) AS blng
+          FROM points)
+        SELECT alat, alng, blat, blng FROM edges_all WHERE blat IS NOT NULL"""
+    ).fetchdf()
+    ax, ay, az = coords.latlng_to_xyz(rows["alat"].to_numpy(), rows["alng"].to_numpy())
+    bx, by, bz = coords.latlng_to_xyz(rows["blat"].to_numpy(), rows["blng"].to_numpy())
+    nx, ny, nz = ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+    band = pred.MAX_DET_ERROR
+    worst = np.inf
+    for _, (la, ln), (lb, lnb) in [
+        (f"t{i}", E.demo.POLYLINE_WAYPOINTS[i], E.demo.POLYLINE_WAYPOINTS[i + 1])
+        for i in range(len(E.demo.POLYLINE_WAYPOINTS) - 1)
+    ]:
+        c = latlng_point(la, ln)
+        d = latlng_point(lb, lnb)
+        # dets the oracle's sign products evaluate
+        d1 = nx * c[0] + ny * c[1] + nz * c[2]
+        d2 = nx * d[0] + ny * d[1] + nz * d[2]
+        m = np.cross(np.asarray(c), np.asarray(d))
+        d3 = m[0] * ax + m[1] * ay + m[2] * az
+        d4 = m[0] * bx + m[1] * by + m[2] * bz
+        for arr in (d1, d2, d3, d4):
+            nzr = np.abs(arr[arr != 0.0])
+            if nzr.size:
+                worst = min(worst, float(nzr.min()))
+            assert not ((np.abs(arr) > 0) & (np.abs(arr) <= band)).any()
+    # headroom report: smallest nonzero det vs the band
+    assert worst > 10 * band
