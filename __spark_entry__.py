@@ -234,22 +234,29 @@ WITHIN_QUERIES = [("q1", 48.85, 2.35), ("q2", -33.86, 151.21), ("q3", 10.0, 179.
 WITHIN_RADIUS = 8.0
 
 
-def _q_polygon_overlay(spark, sf_dir):
-    """Polygon boolean overlay (A∩B) over a table of polygon pairs — the
+def _q_polygon_overlay_op(op):
+    """Polygon boolean overlay (∩/∪/−) over a table of polygon pairs — the
     reference's largest module (s2boolean_operation.d:225-481) as a
     dimension-side applyInPandas kernel; the oracle re-derives the boundary
     vertex multiset independently (convex det containment + closed-form
     crossing points)."""
-    from s2geometry_d_spark.operators.overlay import overlay_vertices, pairs_dataframe
 
-    df = pairs_dataframe(spark, demo.overlay_pairs())
-    out = overlay_vertices(df, "intersection")
-    return out.select(
-        "pair_id",
-        F.round("vx", 6).alias("vx"),
-        F.round("vy", 6).alias("vy"),
-        F.round("vz", 6).alias("vz"),
-    )
+    def q(spark, sf_dir):
+        from s2geometry_d_spark.operators.overlay import (
+            overlay_vertices,
+            pairs_dataframe,
+        )
+
+        df = pairs_dataframe(spark, demo.overlay_pairs())
+        out = overlay_vertices(df, op)
+        return out.select(
+            "pair_id",
+            F.round("vx", 6).alias("vx"),
+            F.round("vy", 6).alias("vy"),
+            F.round("vz", 6).alias("vz"),
+        )
+
+    return q
 
 
 def _q_within_distance(spark, sf_dir):
@@ -428,7 +435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "furthest_join": _q_furthest,
         "nearest_polyline_join": _q_nearest_polyline,
         "crossing_edges_join": _q_crossing_edges,
-        "polygon_overlay": _q_polygon_overlay,
+        "polygon_overlay": _q_polygon_overlay_op("intersection"),
+        "polygon_overlay_union": _q_polygon_overlay_op("union"),
+        "polygon_overlay_diff": _q_polygon_overlay_op("difference"),
         "within_distance_join": _q_within_distance,
         "within_distance_polyline": _q_within_polyline,
         "group_cap_bounds": _q_group_bounds,
@@ -998,7 +1007,9 @@ def oracle_sql() -> dict[str, str]:
         "furthest_join": _furthest_sql(),
         "nearest_polyline_join": _nearest_polyline_sql(),
         "crossing_edges_join": _crossing_edges_sql(),
-        "polygon_overlay": demo.overlay_intersection_sql(),
+        "polygon_overlay": demo.overlay_sql("intersection"),
+        "polygon_overlay_union": demo.overlay_sql("union"),
+        "polygon_overlay_diff": demo.overlay_sql("difference"),
         "dedup_exact": (
             "WITH corpus AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents) "

@@ -207,10 +207,21 @@ def overlay_pairs():
 
 
 def overlay_intersection_sql() -> str:
-    """Vertex multiset of A∩B per pair, derived INDEPENDENTLY of the
-    engine's overlay walk: retained vertices by convex det-sign containment,
-    crossing points from the two great-circle normals (same expression
-    order as s2core.boolean.edge_intersection, so doubles agree bitwise)."""
+    return overlay_sql("intersection")
+
+
+def overlay_sql(op: str) -> str:
+    """Vertex multiset of op(A, B) per pair, derived INDEPENDENTLY of the
+    engine's overlay walk: retained vertices by convex det-sign containment
+    (∩ keeps A-verts inside B + B-verts inside A; ∪ keeps outside/outside;
+    A−B keeps A-outside + B-inside), crossing points from the two
+    great-circle normals (same expression order as
+    s2core.boolean.edge_intersection, so doubles agree bitwise)."""
+    cmp_a, cmp_b = {
+        "intersection": ("> 0", "> 0"),
+        "union": ("< 0", "< 0"),
+        "difference": ("< 0", "> 0"),
+    }[op]
     def lit(x: float) -> str:
         # exponent form forces DOUBLE (plain decimals parse as DECIMAL in
         # DuckDB and poison downstream arithmetic); .17e round-trips exactly
@@ -236,17 +247,17 @@ be AS (
          q.x AS dx, q.y AS dy, q.z AS dz
   FROM bv p JOIN bv q ON q.pair_id = p.pair_id AND q.j = (p.j + 1) % {nb}
 ),
-a_in_b AS (
+a_keep AS (
   SELECT v.pair_id, v.x, v.y, v.z
   FROM av v JOIN be e ON e.pair_id = v.pair_id
   GROUP BY v.pair_id, v.j, v.x, v.y, v.z
-  HAVING min((e.cy*e.dz - e.cz*e.dy)*v.x + (e.cz*e.dx - e.cx*e.dz)*v.y + (e.cx*e.dy - e.cy*e.dx)*v.z) > 0
+  HAVING min((e.cy*e.dz - e.cz*e.dy)*v.x + (e.cz*e.dx - e.cx*e.dz)*v.y + (e.cx*e.dy - e.cy*e.dx)*v.z) {cmp_a}
 ),
-b_in_a AS (
+b_keep AS (
   SELECT v.pair_id, v.x, v.y, v.z
   FROM bv v JOIN ae e ON e.pair_id = v.pair_id
   GROUP BY v.pair_id, v.j, v.x, v.y, v.z
-  HAVING min((e.ay*e.bz - e.az*e.by)*v.x + (e.az*e.bx - e.ax*e.bz)*v.y + (e.ax*e.by - e.ay*e.bx)*v.z) > 0
+  HAVING min((e.ay*e.bz - e.az*e.by)*v.x + (e.az*e.bx - e.ax*e.bz)*v.y + (e.ax*e.by - e.ay*e.bx)*v.z) {cmp_b}
 ),
 pairs AS (
   SELECT ae.pair_id,
@@ -285,9 +296,9 @@ xsigned AS (
   FROM xpt
 ),
 allv AS (
-  SELECT pair_id, x, y, z FROM a_in_b
+  SELECT pair_id, x, y, z FROM a_keep
   UNION ALL
-  SELECT pair_id, x, y, z FROM b_in_a
+  SELECT pair_id, x, y, z FROM b_keep
   UNION ALL
   SELECT pair_id, sx / sqrt(sx*sx + sy*sy + sz*sz),
          sy / sqrt(sx*sx + sy*sy + sz*sz),
