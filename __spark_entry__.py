@@ -399,6 +399,24 @@ def _q_image_verify(spark, sf_dir):
     )
 
 
+def _q_tile_pixel_stats(spark, sf_dir):
+    """Raster-side tiling: per-tile decoded-pixel channel means.  The ONLY
+    image-DECODE operator with a true hash-matched oracle — the stub codec
+    is a pure integer hash, so DuckDB re-derives every pixel from
+    (doc_id, y, x, c) arithmetic and aggregates the same means."""
+    from s2geometry_d_spark.operators.multimodal import tile_pixel_stats
+
+    out = tile_pixel_stats(synth_images(spark, sf_dir))
+    return out.select(
+        "image_id",
+        "tile_x",
+        "tile_y",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def _q_image_features(spark, sf_dir):
     from s2geometry_d_spark.operators.multimodal import image_features
 
@@ -451,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_containment_check": _q_tile_containment,
         "image_verify": _q_image_verify,
         "image_features": _q_image_features,
+        "tile_pixel_stats": _q_tile_pixel_stats,
         "ann_cosine_lsh": _q_ann_lsh,
         "ann_cosine_ivf": _q_ann_ivf,
         "dedup_embedding_cosine": _q_dedup_embedding,
@@ -989,10 +1008,49 @@ CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS tile_y) ty
 """
 
 
+def _tile_pixels_sql() -> str:
+    """Exact re-derivation of the stub codec's pixels (sources/images.py
+    fake_pixels: uint32 hash of (seed, y, x, c); jpeg payloads 6-bit
+    quantized) and their per-tile channel means — decoded-pixel
+    verification as a hash-matched gate."""
+    m32 = 4294967296
+    # HUGEINT for the second multiply: (x % 2^32) * 2246822519 overflows INT64
+    pix = (
+        f"CAST(((CAST((doc_id * 2654435761 + y * 7919 + x * 104729 + c * 1299709) % {m32} AS HUGEINT)"
+        f" * 2246822519) % {m32}) AS BIGINT) // 65536 % 256"
+    )
+    return f"""
+WITH imgs AS (
+  SELECT doc_id, 'img' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id
+  FROM documents
+),
+coords AS (
+  SELECT yy.y, xx.x, cc.c
+  FROM (SELECT unnest(generate_series(0, 63)) AS y) yy
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS x) xx
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) cc
+),
+px AS (
+  SELECT image_id,
+         CAST(x // 16 AS INTEGER) AS tile_x,
+         CAST(y // 16 AS INTEGER) AS tile_y,
+         c,
+         CASE WHEN doc_id % 2 = 1 THEN ({pix}) // 4 * 4 ELSE {pix} END AS p
+  FROM imgs CROSS JOIN coords
+)
+SELECT image_id, tile_x, tile_y,
+       round(sum(CASE WHEN c = 0 THEN p END) / 256e0, 6) AS mean_r,
+       round(sum(CASE WHEN c = 1 THEN p END) / 256e0, 6) AS mean_g,
+       round(sum(CASE WHEN c = 2 THEN p END) / 256e0, 6) AS mean_b
+FROM px GROUP BY image_id, tile_x, tile_y
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pip_cap_join": _pip_cap_sql(),
         "tile_containment_check": _tile_containment_sql(),
+        "tile_pixel_stats": _tile_pixels_sql(),
         "within_distance_join": _within_distance_sql(),
         "within_distance_polyline": _within_polyline_sql(),
         "group_cap_bounds": _group_bounds_sql(),

@@ -41,6 +41,7 @@ EXTRA = [
     "nearest_polyline_join",
     "polygon_overlay",
     "tile_containment_check",
+    "tile_pixel_stats",
     "group_rect_bounds",
     "cell_area_stats",
     "dedup_minhash_lsh",

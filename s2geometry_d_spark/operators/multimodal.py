@@ -127,6 +127,61 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def tile_pixel_stats(images: DataFrame, grid: int = 4) -> DataFrame:
+    """Per-TILE pixel statistics: decode each image, split the H x W frame
+    into grid x grid pixel tiles (the same tiles the raster<->vector
+    assignment maps to cells), and emit per-tile mean channels — the raster
+    side of the tiling story, joined to cells via (image_id, tile_x, tile_y).
+
+    Whole-batch numpy: one (n, G, H/G, G, W/G, 3) reshape + one mean; the
+    only per-row work is the decode buffer view.  Because the stub codec is
+    a pure integer hash, this is the one image-DECODE operator whose output
+    a SQL oracle can re-derive exactly (see __spark_entry__._tile_pixels_sql)
+    — decoded-pixel verification with a hash-matched gate rather than a
+    rows-only check."""
+    g = grid
+    cols = ["image_id", "tile_x", "tile_y", "mean_r", "mean_g", "mean_b"]
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("tile_x", T.IntegerType(), False),
+            T.StructField("tile_y", T.IntegerType(), False),
+            T.StructField("mean_r", T.DoubleType(), False),
+            T.StructField("mean_g", T.DoubleType(), False),
+            T.StructField("mean_b", T.DoubleType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            dec = _decode_batch(pdf).astype(np.float64)
+            n = dec.shape[0]
+            th, tw = H // g, W // g
+            # (n, g, th, g, tw, 3) -> mean over pixel dims -> (n, g, g, 3)
+            tiles = dec.reshape(n, g, th, g, tw, 3).mean(axis=(2, 4))
+            ty, tx = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "image_id": np.repeat(pdf["image_id"].to_numpy(), g * g),
+                    "tile_x": np.tile(tx.ravel(), n).astype(np.int32),
+                    "tile_y": np.tile(ty.ravel(), n).astype(np.int32),
+                    # raw means (integer pixel sums are order-independent-
+                    # exact in float64; /count is one correctly-rounded op).
+                    # Rounding happens SQL-side: tile means land on exact
+                    # dyadic ties (sum ≡ 6 mod 12 -> ...5 at the 7th digit)
+                    # where numpy banker's and SQL HALF_UP diverge.
+                    "mean_r": tiles[:, :, :, 0].reshape(-1),
+                    "mean_g": tiles[:, :, :, 1].reshape(-1),
+                    "mean_b": tiles[:, :, :, 2].reshape(-1),
+                }
+            )
+
+    return images.mapInPandas(run, schema)
+
+
 def image_features(images: DataFrame) -> DataFrame:
     """Cheap feature extraction over the binary column (mean channels)."""
 

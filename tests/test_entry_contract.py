@@ -119,3 +119,41 @@ class TestImages:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestTilePixelStats:
+    def test_matches_direct_numpy_reference(self, spark):
+        """Per-tile channel means equal the straight numpy computation over
+        the reference renders (incl. jpeg 6-bit quantization)."""
+        import numpy as np
+
+        from s2geometry_d_spark.operators.multimodal import tile_pixel_stats
+        from s2geometry_d_spark.sources.images import (
+            H,
+            W,
+            fake_pixels_batch,
+            synth_images_cached,
+        )
+
+        imgs = synth_images_cached(spark, SF_DIR)
+        got = {
+            (r["image_id"], r["tile_x"], r["tile_y"]): (
+                r["mean_r"],
+                r["mean_g"],
+                r["mean_b"],
+            )
+            for r in tile_pixel_stats(imgs).collect()
+        }
+        rows = imgs.select("image_id", "fmt").limit(8).collect()
+        ids = np.array([int(r["image_id"][3:]) for r in rows])
+        ref = fake_pixels_batch(ids).astype(np.float64)
+        for k, r in enumerate(rows):
+            pix = ref[k]
+            if r["fmt"] == "jpeg":
+                pix = np.floor(pix / 4.0) * 4.0
+            tiles = pix.reshape(4, H // 4, 4, W // 4, 3).mean(axis=(1, 3))
+            for ty in range(4):
+                for tx in range(4):
+                    want = tiles[ty, tx]
+                    have = got[(r["image_id"], tx, ty)]
+                    assert np.allclose(have, want, atol=0.0)

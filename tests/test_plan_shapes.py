@@ -1,0 +1,133 @@
+"""Plan-shape regression tests: the 100 TB arguments, pinned.
+
+Each test asserts a physical-plan property that the design relies on at
+scale — these would not fail on correctness, only on a silent plan
+regression (a reintroduced fact-table sort, a lost broadcast, a lost
+filter pushdown), which is exactly why they are tested explicitly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_group_rect_bounds_has_no_window_over_fact(spark, entrymod):
+    """Round-2 finding: per-band sort windows over the fact table are a
+    scale-killer on low-cardinality group keys.  The binned-gap rewrite
+    must keep Window out of the plan entirely."""
+    df = entrymod.queries()["group_rect_bounds"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+
+
+def test_pip_join_does_not_shuffle_fact_table(spark, entrymod):
+    """The covering join must be map-only on the point side: a broadcast
+    membership probe + filter, no Exchange of the fact table (broadcast
+    exchanges of the tiny dimension/mapping tables are fine)."""
+    df = entrymod.queries()["pip_cap_join"](spark, SF_DIR)
+    plan = _plan(df)
+    for line in plan.splitlines():
+        if "Exchange" not in line or "Broadcast" in line:
+            continue
+        # the loader's RoundRobin repartition spreads the single-split TEST
+        # parquet across cores (a no-op on a real multi-split table) — any
+        # hash/range exchange, i.e. a real join/agg shuffle, is a failure
+        if "RoundRobinPartitioning" in line:
+            continue
+        raise AssertionError(f"fact-side shuffle in PIP plan: {line}\n{plan}")
+
+
+def test_pip_join_uses_broadcast_hash_join(spark, entrymod):
+    df = entrymod.queries()["pip_cap_join"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A two-column projection over the orders parquet must not read every
+    column (ReadSchema pruned to the selected columns)."""
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey")
+    plan = _plan(df)
+    assert "ReadSchema: struct<o_orderkey" in plan
+    # no other o_ columns in the read schema
+    schema_line = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_custkey" not in schema_line
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_orderkey") > 100)
+        .select("o_orderkey")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,100)]" in plan or (
+        "GreaterThan(o_orderkey" in plan
+    )
+
+
+def test_dedup_lsh_has_single_signature_aggregation(spark, entrymod):
+    """The minhash plan must evaluate the shingle->minima subtree ONCE: no
+    self-join on the bucket keys (collect_list buckets), and the bucket cap
+    window must reuse the (band, sig) hash partitioning — exactly one
+    non-broadcast Exchange below the window+aggregate pair."""
+    df = entrymod.queries()["dedup_minhash_lsh"](spark, SF_DIR)
+    plan = _plan(df)
+    shuffles = [
+        ln for ln in plan.splitlines() if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    # exactly three shuffles: per-doc minima groupBy (doc_id), ONE (band,
+    # sig) exchange shared by the cap window AND the bucket groupBy, and the
+    # final pair distinct (tiny: candidates only)
+    assert len(shuffles) <= 3, plan
+    band_sig = [ln for ln in shuffles if "band" in ln and "sig" in ln]
+    assert len(band_sig) == 1, plan
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_knn_result_is_local_relation(spark, entrymod):
+    """Round-2 finding: kNN results re-executed every round's probe when
+    consumed.  Driver-side assembly means the final result is a local
+    relation (scan of pre-collected rows), not a live lineage."""
+    df = entrymod.queries()["knn_join"](spark, SF_DIR)
+    plan = _analyzed(df)
+    # createDataFrame over collected rows shows as LogicalRDD/LocalRelation;
+    # a live probe+window lineage would show Window/Join operators instead
+    assert ("LocalRelation" in plan) or ("LogicalRDD" in plan), plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_cell_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Cell-range partitioning must let a cell-range predicate prune
+    partitions at the source (PartitionFilters on the hive-style layout)."""
+    from s2geometry_d_spark.operators.partitioning import write_cell_partitioned
+    from s2geometry_d_spark.sources.tables import spatial_points
+
+    pts = spatial_points(spark, SF_DIR)
+    path = str(tmp_path / "cellpart")
+    write_cell_partitioned(pts, path)
+    back = spark.read.parquet(path)
+    tok = back.select("part_cell").distinct().limit(1).collect()[0][0]
+    filtered = back.filter(F.col("part_cell") == tok)
+    plan = _plan(filtered)
+    assert "PartitionFilters" in plan and "part_cell" in plan
