@@ -234,6 +234,19 @@ WITHIN_QUERIES = [("q1", 48.85, 2.35), ("q2", -33.86, 151.21), ("q3", 10.0, 179.
 WITHIN_RADIUS = 8.0
 
 
+def _q_knn_edge_targets(spark, sf_dir):
+    """EDGE-target closest-edge query: k nearest table edges to each route
+    segment (reference target kinds, s2min_distance_targets.d)."""
+    e = _edges(spark, sf_dir)
+    res = knn.knn_edges_to_edges(
+        e,
+        _crossing_targets(),
+        k=5,
+        registered_df=_edges_registered(spark, sf_dir),
+    )
+    return res.select("query_id", "rank", "edge_id")
+
+
 def _q_polygon_overlay_op(op):
     """Polygon boolean overlay (∩/∪/−) over a table of polygon pairs — the
     reference's largest module (s2boolean_operation.d:225-481) as a
@@ -450,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn,
         "knn_edges_join": _q_knn_edges,
         "knn_edges_maxdist": _q_knn_edges_maxdist,
+        "knn_edge_targets": _q_knn_edge_targets,
         "furthest_join": _q_furthest,
         "nearest_polyline_join": _q_nearest_polyline,
         "crossing_edges_join": _q_crossing_edges,
@@ -674,6 +688,44 @@ SELECT query_id, rank, polyline_id, round(dist2, 9) AS dist2 FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, polyline_id ASC) AS rank
   FROM agg
 ) WHERE rank <= 3
+"""
+
+
+def _knn_edge_targets_sql() -> str:
+    from s2geometry_d_spark.functions import edgedist, edgepair
+    from s2geometry_d_spark.s2core.regions import latlng_point
+
+    a_cols = ",\n       ".join(edgedist.xyz_exprs("alat", "alng", "a"))
+    b_cols = ",\n       ".join(edgedist.xyz_exprs("blat", "blng", "b"))
+    rows = []
+    for tid, (la, ln), (lb, lnb) in _crossing_targets():
+        c = latlng_point(la, ln)
+        d = latlng_point(lb, lnb)
+        lits = ", ".join(format(v, ".17e") for v in (*c, *d))
+        rows.append(f"('{tid}', {lits})")
+    targets = ", ".join(rows)
+    inner = (
+        f"SELECT query_id, edge_id, cx, cy, cz, dx, dy, dz,\n"
+        f"       {a_cols},\n       {b_cols}\n"
+        "FROM e CROSS JOIN q"
+    )
+    scored = edgepair.pair_dist2_select_sql(inner, "query_id, edge_id")
+    return f"""
+WITH points AS ({demo.points_cte()}),
+edges_all AS (
+  SELECT point_id AS edge_id, lat AS alat, lng AS alng,
+         lead(lat) OVER ({_EDGE_ORDER}) AS blat,
+         lead(lng) OVER ({_EDGE_ORDER}) AS blng
+  FROM points
+),
+e AS (SELECT * FROM edges_all WHERE blat IS NOT NULL),
+q AS (SELECT * FROM (VALUES {targets}) AS q(query_id, cx, cy, cz, dx, dy, dz)),
+scored AS ({scored})
+SELECT query_id, rank, edge_id FROM (
+  SELECT query_id, edge_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, edge_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
 """
 
 
@@ -1062,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _knn_sql(),
         "knn_edges_join": _knn_edges_sql(),
         "knn_edges_maxdist": _knn_edges_maxdist_sql(),
+        "knn_edge_targets": _knn_edge_targets_sql(),
         "furthest_join": _furthest_sql(),
         "nearest_polyline_join": _nearest_polyline_sql(),
         "crossing_edges_join": _crossing_edges_sql(),

@@ -37,6 +37,7 @@ EXTRA = [
     "within_distance_polyline",
     "crossing_edges_join",
     "knn_edges_maxdist",
+    "knn_edge_targets",
     "furthest_join",
     "nearest_polyline_join",
     "polygon_overlay",

@@ -420,6 +420,130 @@ def knn_edges_join_with_interiors(
     return res.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def knn_edges_to_edges(
+    edges_df: DataFrame,
+    query_edges: list[tuple[str, tuple[float, float], tuple[float, float]]],
+    k: int,
+    edge_id_col: str = "edge_id",
+    initial_radius_deg: float = 1.0,
+    max_rounds: int = 6,
+    registered_df: DataFrame | None = None,
+) -> DataFrame:
+    """k nearest table edges to each QUERY EDGE — the reference's EDGE
+    target kind (s2closest_edge_query.d:199-272 / s2min_distance_targets.d).
+
+    Ring expansion with a cap centered at the query edge's midpoint and
+    radius (query half-length + ring): by the triangle inequality any table
+    edge within ring distance of the query edge has a point inside that
+    cap, so the covering probe is complete.  Scoring is the edge-PAIR min
+    squared chord (0 when properly crossing, else min of the four
+    endpoint-to-edge distances) stated as the engine-shared SQL fragment
+    (functions/edgepair.py).  Returns (query_id, rank, dist2, <edge cols>).
+    """
+    import numpy as np
+
+    from ..functions import edgedist, edgepair
+    from ..s2core.regions import latlng_point
+
+    spark = edges_df.sparkSession
+    registered = registered_df if registered_df is not None else register_edges(edges_df)
+
+    geom = {}
+    for qid, (la, ln), (lb, lnb) in query_edges:
+        c = latlng_point(la, ln)
+        d = latlng_point(lb, lnb)
+        m = np.array([c[0] + d[0], c[1] + d[1], c[2] + d[2]])
+        m = m / np.linalg.norm(m)
+        half = math.acos(max(-1.0, min(1.0, float(m @ np.array(c)))))
+        geom[qid] = (c, d, (float(m[0]), float(m[1]), float(m[2])), half)
+
+    def _score(cand: DataFrame, qdf: DataFrame) -> DataFrame:
+        cand = cand.join(F.broadcast(qdf), "query_id")
+        for expr in edgedist.xyz_exprs("alat", "alng", "a"):
+            cand = cand.selectExpr("*", expr)
+        for expr in edgedist.xyz_exprs("blat", "blng", "b"):
+            cand = cand.selectExpr("*", expr)
+        scored = edgepair.with_pair_dist2(cand)
+        return scored.drop("ax", "ay", "az", "bx", "by", "bz")
+
+    pending = dict(geom)
+    radius = {qid: initial_radius_deg for qid in pending}
+    done_rows: list = []
+    topk_schema = None
+    brute: dict = {}
+
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        regions = []
+        qrows = []
+        for qid, (c, d, mid, half) in pending.items():
+            ring = min(radius[qid], 170.0)
+            cap_r = min(math.pi * 0.99, half + math.radians(ring))
+            regions.append((qid, Cap(mid, chord2_from_radians(cap_r))))
+            qrows.append((qid, *c, *d, chord2_from_radians(math.radians(ring))))
+        coverings = compute_coverings(regions, max_cells=24)
+        cand = candidate_match_kernel(
+            registered, coverings, cell_col="ecell", two_way=True
+        ).drop("is_interior", "ecell")
+        cand = cand.withColumnRenamed("region_id", "query_id").dropDuplicates(
+            ["query_id", edge_id_col]
+        )
+        qdf = spark.createDataFrame(
+            qrows, ["query_id", "cx", "cy", "cz", "dx", "dy", "dz", "r2"]
+        )
+        scored = _score(cand, qdf).filter(F.col("dist2") <= F.col("r2"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist2").asc(), F.col(edge_id_col).asc()
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("cx", "cy", "cz", "dx", "dy", "dz", "r2")
+        )
+        rows = topk.collect()
+        topk_schema = topk.schema
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid in list(pending):
+            if len(by_q.get(qid, [])) >= k:
+                done_rows.extend(by_q[qid])
+                del pending[qid]
+            elif radius[qid] >= 170.0:
+                brute[qid] = pending.pop(qid)
+            else:
+                radius[qid] = radius[qid] * 2.0
+
+    pending.update(brute)
+    results = (
+        spark.createDataFrame(done_rows, topk_schema)
+        if topk_schema is not None
+        else None
+    )
+
+    if pending:
+        qrows = [(qid, *c, *d) for qid, (c, d, _, _) in pending.items()]
+        qdf = spark.createDataFrame(
+            qrows, ["query_id", "cx", "cy", "cz", "dx", "dy", "dz"]
+        )
+        cand = edges_df.crossJoin(
+            F.broadcast(spark.createDataFrame([(q,) for q in pending], ["query_id"]))
+        )
+        scored = _score(cand, qdf)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist2").asc(), F.col(edge_id_col).asc()
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("cx", "cy", "cz", "dx", "dy", "dz")
+        )
+        results = topk if results is None else results.unionByName(topk)
+
+    return results
+
+
 def furthest_points_join(
     points_df: DataFrame,
     queries: list[tuple[str, float, float]],

@@ -135,3 +135,41 @@ def test_furthest_points_matches_brute_force(spark):
         for i, (_, pid) in enumerate(far):
             want[(q, i + 1)] = pid
     assert got == want
+
+
+def test_knn_edge_targets_matches_scalar_brute_force(spark, edges):
+    """Edge-TARGET kNN vs an independent scalar oracle: rank all table
+    edges by s2core.measures.edge_pair_min_dist2 (different code path from
+    the SQL fragment the operator evaluates)."""
+    from s2geometry_d_spark.s2core.measures import edge_pair_min_dist2
+    from s2geometry_d_spark.s2core.regions import latlng_point
+
+    targets = [
+        ("t1", (10.0, 20.0), (12.0, 24.0)),
+        ("t2", (-45.0, 100.0), (-44.0, 99.0)),
+        ("t3", (0.0, 179.5), (0.5, -179.5)),  # antimeridian
+    ]
+    got = {}
+    res = knn.knn_edges_to_edges(edges, targets, k=4)
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["edge_id"]))
+    table = edges.select("edge_id", "alat", "alng", "blat", "blng").collect()
+    for qid, (p1, p2) in [(t[0], (t[1], t[2])) for t in targets]:
+        c = latlng_point(*p1)
+        d = latlng_point(*p2)
+        scored = sorted(
+            (
+                (
+                    edge_pair_min_dist2(
+                        latlng_point(r["alat"], r["alng"]),
+                        latlng_point(r["blat"], r["blng"]),
+                        c,
+                        d,
+                    ),
+                    r["edge_id"],
+                )
+                for r in table
+            )
+        )[:4]
+        want = [(i + 1, e) for i, (_, e) in enumerate(scored)]
+        assert sorted(got[qid]) == want, (qid, got[qid], want)
