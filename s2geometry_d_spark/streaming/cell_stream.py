@@ -130,6 +130,34 @@ def cell_distinct_entities_stream(
     )
 
 
+def pip_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    regions: list,
+) -> DataFrame:
+    """STREAMING point-in-region join: readStream -> cell kernel ->
+    covering membership probe -> single-pass exact predicates.
+
+    Works unchanged on a stream because the whole PIP plan is map-only on
+    the fact side (broadcast covering kernel + native predicates — no
+    shuffle, no stateful operator): the batch operator IS the streaming
+    operator, which is the payoff of the covering-join design."""
+    from ..operators.spatial_join import points_in_regions
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    placed = _placed(stream)
+    return points_in_regions(placed, regions).select("region_id", "event_id")
+
+
+def pip_batch(events: DataFrame, regions: list) -> DataFrame:
+    """The identical computation as a batch plan (oracle for the stream)."""
+    from ..operators.spatial_join import points_in_regions
+
+    return points_in_regions(_placed(events), regions).select("region_id", "event_id")
+
+
 def cell_distinct_entities_batch(
     events: DataFrame, level: int = 4, entity_mod: int = 97
 ) -> DataFrame:

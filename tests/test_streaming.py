@@ -106,3 +106,40 @@ class TestStatefulDistinct:
         # state really carried across batches: some cell must have been
         # updated in more than one micro-batch
         assert (emitted.groupby("parent_cell").size() > 1).any()
+
+
+class TestStreamingPIP:
+    def test_pip_stream_equals_batch(self, spark, tmp_path):
+        """The covering PIP join runs UNCHANGED on a stream (map-only on
+        the fact side: broadcast kernel + native predicates, no shuffle) —
+        append-mode micro-batches must reproduce the batch join exactly."""
+        import shutil
+
+        from s2geometry_d_spark.plans import demo
+        from s2geometry_d_spark.streaming.cell_stream import pip_batch, pip_stream
+
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        schema = events.schema
+        src = tmp_path / "events_pip"
+        src.mkdir()
+        shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+
+        regions = demo.all_regions()
+        stream_df = pip_stream(spark, str(src), schema, regions)
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName("pipstream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_pip"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r.region_id, r.event_id)
+            for r in spark.sql("select * from pipstream").collect()
+        }
+        want = {(r.region_id, r.event_id) for r in pip_batch(events, regions).collect()}
+        assert got == want
+        assert len(want) > 0
