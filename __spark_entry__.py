@@ -165,9 +165,10 @@ def _polyline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _edges(spark, sf_dir)
     w = W.orderBy(F.floor("alat"), F.col("alng"), F.col("edge_id"))
-    return e.withColumn(
+    rn = F.row_number().over(w)
+    return e.withColumn("seq", rn).withColumn(
         "polyline_id",
-        F.floor((F.row_number().over(w) - 1) / _POLYLINE_CHAIN).cast("long"),
+        F.floor((rn - 1) / _POLYLINE_CHAIN).cast("long"),
     )
 
 
@@ -232,6 +233,24 @@ def _q_crossing_edges(spark, sf_dir):
 
 WITHIN_QUERIES = [("q1", 48.85, 2.35), ("q2", -33.86, 151.21), ("q3", 10.0, 179.9)]
 WITHIN_RADIUS = 8.0
+
+
+def _q_clip_polylines(spark, sf_dir):
+    """Clip the polyline TABLE to a convex polygon (the 1D boolean
+    operand): one row per clipped-chain vertex; the oracle re-derives the
+    vertex multiset (interior polyline vertices by det containment +
+    closed-form boundary crossings)."""
+    from s2geometry_d_spark.operators.overlay import clip_polylines_to_polygon
+
+    _, poly = demo.poly_region()
+    pe = _polyline_edges(spark, sf_dir)
+    out = clip_polylines_to_polygon(pe, poly)
+    return out.select(
+        "polyline_id",
+        F.round("vx", 6).alias("vx"),
+        F.round("vy", 6).alias("vy"),
+        F.round("vz", 6).alias("vz"),
+    )
 
 
 def _q_knn_edge_targets(spark, sf_dir):
@@ -468,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_polyline_join": _q_nearest_polyline,
         "crossing_edges_join": _q_crossing_edges,
         "polygon_overlay": _q_polygon_overlay_op("intersection"),
+        "clip_polylines": _q_clip_polylines,
         "polygon_overlay_union": _q_polygon_overlay_op("union"),
         "polygon_overlay_diff": _q_polygon_overlay_op("difference"),
         "within_distance_join": _q_within_distance,
@@ -688,6 +708,98 @@ SELECT query_id, rank, polyline_id, round(dist2, 9) AS dist2 FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, polyline_id ASC) AS rank
   FROM agg
 ) WHERE rank <= 3
+"""
+
+
+def _clip_polylines_sql() -> str:
+    """Clipped-vertex multiset re-derived independently: interior polyline
+    vertices by the convex det conjunction, boundary crossings by det
+    products + the closed-form intersection point (same expression order as
+    s2core.boolean.edge_intersection)."""
+    from s2geometry_d_spark.functions import edgedist
+
+    _, poly = demo.poly_region()
+    v = poly.loops[0].vertices
+    n = len(v)
+
+    def lit(x):
+        return format(x, ".17e")
+
+    # interior test: conjunction of per-edge normal dots (normals as python
+    # literals — independent of the kernel's parity containment)
+    conds = []
+    pedge_rows = []
+    for i in range(n):
+        c, d = v[i], v[(i + 1) % n]
+        nx = c[1] * d[2] - c[2] * d[1]
+        ny = c[2] * d[0] - c[0] * d[2]
+        nz = c[0] * d[1] - c[1] * d[0]
+        conds.append(f"({lit(nx)}*x + {lit(ny)}*y + {lit(nz)}*z > 0)")
+        pedge_rows.append(
+            f"({', '.join(lit(t) for t in (*c, *d, nx, ny, nz))})"
+        )
+    inside = " AND ".join(conds)
+    pedges = ", ".join(pedge_rows)
+
+    a_cols = ",\n       ".join(edgedist.xyz_exprs("alat", "alng", "a"))
+    b_cols = ",\n       ".join(edgedist.xyz_exprs("blat", "blng", "b"))
+    return f"""
+WITH points AS ({demo.points_cte()}),
+edges_all AS (
+  SELECT point_id AS edge_id, lat AS alat, lng AS alng,
+         lead(lat) OVER ({_EDGE_ORDER}) AS blat,
+         lead(lng) OVER ({_EDGE_ORDER}) AS blng
+  FROM points
+),
+e AS (SELECT * FROM edges_all WHERE blat IS NOT NULL),
+pe AS (
+  SELECT *, row_number() OVER (ORDER BY floor(alat), alng, edge_id) AS rn
+  FROM e
+),
+exyz AS (
+  SELECT CAST(floor((rn - 1) / {_POLYLINE_CHAIN}) AS BIGINT) AS polyline_id,
+         rn, {a_cols}, {b_cols}
+  FROM pe
+),
+pverts AS (
+  SELECT polyline_id, ax AS x, ay AS y, az AS z FROM exyz
+  UNION ALL
+  SELECT polyline_id, bx, by, bz FROM exyz e1
+  WHERE rn = (SELECT max(rn) FROM exyz e2 WHERE e2.polyline_id = e1.polyline_id)
+),
+inside AS (SELECT polyline_id, x, y, z FROM pverts WHERE {inside}),
+pedge(ex, ey, ez, fx, fy, fz, mx, my, mz) AS (VALUES {pedges}),
+cand AS (
+  SELECT polyline_id, ax, ay, az, bx, by, bz,
+         ay*bz - az*by AS n1x, az*bx - ax*bz AS n1y, ax*by - ay*bx AS n1z,
+         ex, ey, ez, fx, fy, fz, mx, my, mz
+  FROM exyz CROSS JOIN pedge
+),
+xpt AS (
+  SELECT polyline_id,
+         n1y*mz - n1z*my AS xx, n1z*mx - n1x*mz AS xy, n1x*my - n1y*mx AS xz,
+         ax, ay, az, bx, by, bz
+  FROM cand
+  WHERE (n1x*ex + n1y*ey + n1z*ez)*(n1x*fx + n1y*fy + n1z*fz) < 0
+    AND (n1x*ex + n1y*ey + n1z*ez)*(mx*ax + my*ay + mz*az) < 0
+    AND (n1x*ex + n1y*ey + n1z*ez)*(mx*bx + my*by + mz*bz) > 0
+),
+xsigned AS (
+  SELECT polyline_id,
+         CASE WHEN xx*(ax+bx) + xy*(ay+by) + xz*(az+bz) < 0 THEN -xx ELSE xx END AS sx,
+         CASE WHEN xx*(ax+bx) + xy*(ay+by) + xz*(az+bz) < 0 THEN -xy ELSE xy END AS sy,
+         CASE WHEN xx*(ax+bx) + xy*(ay+by) + xz*(az+bz) < 0 THEN -xz ELSE xz END AS sz
+  FROM xpt
+),
+allv AS (
+  SELECT polyline_id, x, y, z FROM inside
+  UNION ALL
+  SELECT polyline_id, sx / sqrt(sx*sx + sy*sy + sz*sz),
+         sy / sqrt(sx*sx + sy*sy + sz*sz),
+         sz / sqrt(sx*sx + sy*sy + sz*sz)
+  FROM xsigned
+)
+SELECT polyline_id, round(x, 6) AS vx, round(y, 6) AS vy, round(z, 6) AS vz FROM allv
 """
 
 
@@ -1121,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_overlay": demo.overlay_sql("intersection"),
         "polygon_overlay_union": demo.overlay_sql("union"),
         "polygon_overlay_diff": demo.overlay_sql("difference"),
+        "clip_polylines": _clip_polylines_sql(),
         "dedup_exact": (
             "WITH corpus AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents) "

@@ -41,6 +41,7 @@ EXTRA = [
     "furthest_join",
     "nearest_polyline_join",
     "polygon_overlay",
+    "clip_polylines",
     "tile_containment_check",
     "tile_pixel_stats",
     "group_rect_bounds",

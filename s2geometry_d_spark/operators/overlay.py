@@ -45,6 +45,56 @@ def pairs_dataframe(spark: SparkSession, pairs) -> DataFrame:
     return spark.createDataFrame(rows, PAIR_SCHEMA)
 
 
+def clip_polylines_to_polygon(
+    edges_df: DataFrame,
+    polygon,
+    polyline_col: str = "polyline_id",
+    seq_col: str = "seq",
+    keep_inside: bool = True,
+) -> DataFrame:
+    """Clip a TABLE of polylines to a (broadcast) polygon — the 1D boolean
+    operand (S2Polyline::intersect).  ``edges_df``: one row per polyline
+    edge with a ``seq`` order column; each polyline group reassembles its
+    vertex chain and runs the s2core clip walk inside applyInPandas.
+    Returns one row per clipped-chain vertex
+    (polyline_id, chain_idx, vx, vy, vz)."""
+    from ..s2core import coords
+    from ..s2core.boolean import clip_polyline
+
+    out_schema = T.StructType(
+        [
+            T.StructField(polyline_col, T.LongType(), False),
+            T.StructField("chain_idx", T.IntegerType(), False),
+            T.StructField("vx", T.DoubleType(), False),
+            T.StructField("vy", T.DoubleType(), False),
+            T.StructField("vz", T.DoubleType(), False),
+        ]
+    )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(seq_col)
+        lats = np.concatenate(
+            [pdf["alat"].to_numpy(), pdf["blat"].to_numpy()[-1:]]
+        )
+        lngs = np.concatenate(
+            [pdf["alng"].to_numpy(), pdf["blng"].to_numpy()[-1:]]
+        )
+        x, y, z = coords.latlng_to_xyz(lats, lngs)
+        verts = [tuple(v) for v in np.stack([x, y, z], axis=1)]
+        rows = []
+        pid = int(key[0])
+        for ci, chain in enumerate(clip_polyline(verts, polygon, keep_inside)):
+            for v in chain:
+                rows.append((pid, ci, v[0], v[1], v[2]))
+        return pd.DataFrame(
+            rows, columns=[polyline_col, "chain_idx", "vx", "vy", "vz"]
+        )
+
+    return edges_df.groupBy(polyline_col).applyInPandas(run, out_schema)
+
+
 def overlay_vertices(pairs_df: DataFrame, op: str) -> DataFrame:
     """One row per result-loop vertex of op(A, B) per pair — the boundary
     computation the oracle verifies (vertex multiset; areas and loop

@@ -221,6 +221,49 @@ def overlay(poly_a, poly_b, op: str) -> list[list[tuple]]:
     return loops
 
 
+def clip_polyline(vertices: list, poly, keep_inside: bool = True) -> list[list[tuple]]:
+    """Clip an open polyline to a polygon (S2Polyline::intersect semantics,
+    s2polyline.d / s2boolean_operation.d applied to a 1D operand): split
+    every polyline edge at its polygon-boundary crossings, keep the
+    sub-edges whose midpoint is inside (or outside), and stitch consecutive
+    kept sub-edges back into maximal chains.
+
+    Returns the kept chains as vertex lists.  Crossing points use the same
+    closed-form as the overlay, so the SQL oracle re-derives the clipped
+    vertex multiset for convex polygons."""
+    pedges = _directed_edges(poly)
+    region = ILRegion(pedges)
+    chains: list[list[tuple]] = []
+    cur: list[tuple] = []
+    for i in range(len(vertices) - 1):
+        u, v = vertices[i], vertices[i + 1]
+        xs = [
+            edge_intersection(u, v, c, d)
+            for c, d in pedges
+            if pred.crossing_sign(u, v, c, d) > 0
+        ]
+        xs.sort(key=lambda x: chord2_between(u, x))
+        chain = [u, *xs, v]
+        for k in range(len(chain) - 1):
+            a, b = chain[k], chain[k + 1]
+            if chord2_between(a, b) == 0.0:
+                continue
+            if region.contains_point(_arc_midpoint(a, b)) == keep_inside:
+                if cur and cur[-1] == a:
+                    cur.append(b)
+                else:
+                    if len(cur) >= 2:
+                        chains.append(cur)
+                    cur = [a, b]
+            else:
+                if len(cur) >= 2:
+                    chains.append(cur)
+                cur = []
+    if len(cur) >= 2:
+        chains.append(cur)
+    return chains
+
+
 def loops_signed_area(loops) -> float:
     """Signed area of an overlay result (shells positive, holes negative):
     fan of signed triangle excesses per loop — exact for results smaller

@@ -164,3 +164,32 @@ def test_shared_vertex_touch_union_area():
     b = Polygon([Loop(verts)], "b")
     u = B.overlay(a, b, "union")
     assert abs(_area(u) - (_poly_area(a) + _poly_area(b))) < 1e-9
+
+
+def test_clip_polyline_partitions_vertices():
+    """clip(inside) and clip(outside) partition the polyline's vertices:
+    every original vertex appears in exactly one side, crossings appear in
+    BOTH (each is an endpoint of an inside chain and an outside chain)."""
+    rnd = random.Random(13)
+    pts = [(rnd.uniform(-10, 30), rnd.uniform(-20, 40)) for _ in range(60)]
+    verts = [latlng_point(la, ln) for la, ln in pts]
+    poly = Polygon([Loop.make_regular(10.0, 10.0, 12.0, 16)], "p")
+    inside_chains = B.clip_polyline(verts, poly, keep_inside=True)
+    outside_chains = B.clip_polyline(verts, poly, keep_inside=False)
+    vin = {v for ch in inside_chains for v in ch}
+    vout = {v for ch in outside_chains for v in ch}
+    orig = set(verts)
+    for v in orig:
+        assert (v in vin) != (v in vout), "original vertex must be on one side"
+    crossings = (vin | vout) - orig
+    assert crossings, "fixture must actually cross the boundary"
+    for x in crossings:
+        assert x in vin and x in vout, "crossings bound both sides"
+    # membership: chain interiors actually inside/outside
+    r = B.ILRegion.from_loops([lp.vertices for lp in poly.loops])
+    for ch in inside_chains:
+        for a, b in zip(ch, ch[1:]):
+            assert r.contains_point(B._arc_midpoint(a, b))
+    for ch in outside_chains:
+        for a, b in zip(ch, ch[1:]):
+            assert not r.contains_point(B._arc_midpoint(a, b))
