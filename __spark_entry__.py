@@ -90,6 +90,19 @@ def _edges_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_REGISTERED_PL_CACHE: dict = {}
+
+
+def _polyline_edges_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _REGISTERED_PL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = knn.register_edges(_polyline_edges(spark, sf_dir))
+    _REGISTERED_PL_CACHE[key] = df
+    return df
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-cap spatial join on sf0.001."""
     return queries()["pip_cap_join"](spark, "/root/testdata/sf0.001")
@@ -180,7 +193,11 @@ def _q_nearest_polyline(spark, sf_dir):
     pe = _polyline_edges(spark, sf_dir)
     n_pl = (spark.read.parquet(f"{sf_dir}/orders.parquet").count() - 1) // _POLYLINE_CHAIN + 1
     res = nearest_polyline_join(
-        pe, demo.knn_queries(), k=3, n_polylines_hint=n_pl
+        pe,
+        demo.knn_queries(),
+        k=3,
+        n_polylines_hint=n_pl,
+        registered_df=_polyline_edges_registered(spark, sf_dir),
     )
     return res.select(
         "query_id", "rank", "polyline_id", F.round("dist2", 9).alias("dist2")
@@ -244,7 +261,9 @@ def _q_clip_polylines(spark, sf_dir):
 
     _, poly = demo.poly_region()
     pe = _polyline_edges(spark, sf_dir)
-    out = clip_polylines_to_polygon(pe, poly)
+    out = clip_polylines_to_polygon(
+        pe, poly, registered_df=_polyline_edges_registered(spark, sf_dir)
+    )
     return out.select(
         "polyline_id",
         F.round("vx", 6).alias("vx"),

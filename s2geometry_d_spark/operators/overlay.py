@@ -51,15 +51,36 @@ def clip_polylines_to_polygon(
     polyline_col: str = "polyline_id",
     seq_col: str = "seq",
     keep_inside: bool = True,
+    registered_df: DataFrame | None = None,
 ) -> DataFrame:
     """Clip a TABLE of polylines to a (broadcast) polygon — the 1D boolean
     operand (S2Polyline::intersect).  ``edges_df``: one row per polyline
     edge with a ``seq`` order column; each polyline group reassembles its
     vertex chain and runs the s2core clip walk inside applyInPandas.
     Returns one row per clipped-chain vertex
-    (polyline_id, chain_idx, vx, vy, vz)."""
+    (polyline_id, chain_idx, vx, vy, vz).
+
+    Scale shape (keep_inside=True): a map-only covering probe first prunes
+    to polylines that can touch the polygon at all (registered edge cells x
+    polygon covering, two-way — complete because both sides are supersets),
+    so the python clip kernel only ever sees candidate groups.  At 100 TB
+    the expensive walk runs on the tiny fraction of polylines near the
+    region, everything else is dropped in the scan stage."""
     from ..s2core import coords
     from ..s2core.boolean import clip_polyline
+    from .knn import register_edges
+    from .spatial_join import candidate_match_kernel, compute_coverings
+
+    if keep_inside:
+        registered = (
+            registered_df if registered_df is not None else register_edges(edges_df)
+        )
+        coverings = compute_coverings([("_clip", polygon)], max_cells=64)
+        cand = candidate_match_kernel(
+            registered, coverings, cell_col="ecell", two_way=True
+        )
+        cand_pl = cand.select(polyline_col).distinct()
+        edges_df = edges_df.join(F.broadcast(cand_pl), polyline_col, "left_semi")
 
     out_schema = T.StructType(
         [
