@@ -92,13 +92,28 @@ def pair_dist2_parts() -> tuple[list[tuple[str, str]], str]:
 
 def with_pair_dist2(df):
     """Spark mirror: add dist2 = edge-pair min squared chord to a DataFrame
-    carrying (ax..bz, cx..dz)."""
+    carrying (ax..bz, cx..dz).
+
+    Intermediates are added in dependency LAYERS (~6 selects) rather than
+    ~54 chained withColumns — chained single-column projections hit the
+    analyzer's quadratic plan-rewrite cost and dominated the per-round wall
+    time of the edge-target kNN loop.  Expression text is unchanged, so the
+    oracle hash parity is unaffected."""
     from pyspark.sql import functions as F
 
     inters, expr = pair_dist2_parts()
+    level: dict[str, int] = {}
+    layers: list[list[tuple[str, str]]] = []
     for name, e in inters:
-        df = df.withColumn(name, F.expr(e))
-    df = df.withColumn("dist2", F.expr(expr))
+        deps = [n for n in level if re.search(rf"\b{n}\b", e)]
+        lvl = 1 + max((level[d] for d in deps), default=0)
+        level[name] = lvl
+        while len(layers) < lvl:
+            layers.append([])
+        layers[lvl - 1].append((name, e))
+    for layer in layers:
+        df = df.select("*", *[F.expr(e).alias(n) for n, e in layer])
+    df = df.select("*", F.expr(expr).alias("dist2"))
     return df.drop(*[n for n, _ in inters])
 
 

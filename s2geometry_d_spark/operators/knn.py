@@ -432,17 +432,19 @@ def knn_edges_to_edges(
     """k nearest table edges to each QUERY EDGE — the reference's EDGE
     target kind (s2closest_edge_query.d:199-272 / s2min_distance_targets.d).
 
-    Ring expansion with a cap centered at the query edge's midpoint and
-    radius (query half-length + ring): by the triangle inequality any table
-    edge within ring distance of the query edge has a point inside that
-    cap, so the covering probe is complete.  Scoring is the edge-PAIR min
+    Ring expansion over the BUFFERED-SEGMENT region (the strip of points
+    within ring distance of the query edge — covered exactly like the
+    polyline within-distance region): any table edge within ring distance
+    has a point inside the strip, so the covering probe is complete, and a
+    strip prunes far harder than a midpoint cap for long segments (area
+    ~2*len*r vs (len/2 + r)^2 — the candidate count is what the giant
+    scoring fragment's cost scales with).  Scoring is the edge-PAIR min
     squared chord (0 when properly crossing, else min of the four
     endpoint-to-edge distances) stated as the engine-shared SQL fragment
     (functions/edgepair.py).  Returns (query_id, rank, dist2, <edge cols>).
     """
-    import numpy as np
-
     from ..functions import edgedist, edgepair
+    from ..s2core.polyline import BufferedRegion, Polyline
     from ..s2core.regions import latlng_point
 
     spark = edges_df.sparkSession
@@ -452,10 +454,7 @@ def knn_edges_to_edges(
     for qid, (la, ln), (lb, lnb) in query_edges:
         c = latlng_point(la, ln)
         d = latlng_point(lb, lnb)
-        m = np.array([c[0] + d[0], c[1] + d[1], c[2] + d[2]])
-        m = m / np.linalg.norm(m)
-        half = math.acos(max(-1.0, min(1.0, float(m @ np.array(c)))))
-        geom[qid] = (c, d, (float(m[0]), float(m[1]), float(m[2])), half)
+        geom[qid] = (c, d, Polyline.from_latlngs([(la, ln), (lb, lnb)]))
 
     def _score(cand: DataFrame, qdf: DataFrame) -> DataFrame:
         cand = cand.join(F.broadcast(qdf), "query_id")
@@ -477,10 +476,9 @@ def knn_edges_to_edges(
             break
         regions = []
         qrows = []
-        for qid, (c, d, mid, half) in pending.items():
+        for qid, (c, d, pl) in pending.items():
             ring = min(radius[qid], 170.0)
-            cap_r = min(math.pi * 0.99, half + math.radians(ring))
-            regions.append((qid, Cap(mid, chord2_from_radians(cap_r))))
+            regions.append((qid, BufferedRegion(pl, math.radians(ring))))
             qrows.append((qid, *c, *d, chord2_from_radians(math.radians(ring))))
         coverings = compute_coverings(regions, max_cells=24)
         cand = candidate_match_kernel(
@@ -523,7 +521,7 @@ def knn_edges_to_edges(
     )
 
     if pending:
-        qrows = [(qid, *c, *d) for qid, (c, d, _, _) in pending.items()]
+        qrows = [(qid, *c, *d) for qid, (c, d, _) in pending.items()]
         qdf = spark.createDataFrame(
             qrows, ["query_id", "cx", "cy", "cz", "dx", "dy", "dz"]
         )
