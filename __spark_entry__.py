@@ -383,6 +383,63 @@ def _q_covering_cells(spark, sf_dir):
     )
 
 
+def _q_cell_roundtrip_check(spark, sf_dir):
+    """The roundtrip identity as a HASH-MATCHED gate: cell -> latlng ->
+    cell must reproduce every id; the oracle states the invariant
+    (ok = true per point) independent of the engine's cell math."""
+    rt = _q_cell_roundtrip(spark, sf_dir)
+    return rt.select("point_id", F.col("roundtrip_ok").alias("ok"))
+
+
+_GRID_STEP = 2  # degrees; 90 x 180 probe lattice
+
+
+def _q_covering_containment(spark, sf_dir):
+    """checkCovering for the REGION coverings (s2testing.d:424-449, the
+    same discipline as tile_containment_check): every probe-lattice point a
+    region's own SQL predicate selects must fall inside some covering cell
+    of that region.  The oracle derives (region_id, n_inside, 0 missed)
+    from the predicates alone."""
+    from s2geometry_d_spark.operators.spatial_join import compute_coverings
+
+    n_lat, n_lng = 90, 180
+    grid = spark.range(0, n_lat * n_lng).select(
+        (F.lit(-89.0) + float(_GRID_STEP) * (F.col("id") % n_lat)).alias("lat"),
+        (F.lit(-179.0) + float(_GRID_STEP) * F.floor(F.col("id") / n_lat)).alias("lng"),
+    )
+    grid = grid.withColumn(
+        "leaf", kernels.cell_from_latlng(F.col("lat"), F.col("lng"))
+    ).persist()
+
+    preds = {rid: demo.cap_predicate_sql(la, ln, r) for rid, la, ln, r in demo.CAPS}
+    preds.update(
+        {rid: demo.rect_predicate_sql(a, b, c, d) for rid, a, b, c, d in demo.RECTS}
+    )
+    preds[demo.POLY_SPEC[0]] = demo.poly_predicate_sql()
+
+    covs = {
+        rc.region_id: [c for c, _ in rc.cells]
+        for rc in compute_coverings(demo.all_regions(), max_cells=64)
+    }
+    import numpy as np
+
+    out = None
+    for rid, pred_sql in preds.items():
+        signed = [int(np.int64(np.uint64(c) ^ np.uint64(1 << 63))) for c in covs[rid]]
+        arr = "array(" + ",".join(f"{c}L" for c in signed) + ")"
+        covered = F.expr(
+            f"exists({arr}, c -> leaf >= c - (c & -c) + 1 AND leaf <= c + (c & -c) - 1)"
+        )
+        agg = (
+            grid.filter(F.expr(pred_sql))
+            .select(F.when(covered, 0).otherwise(1).alias("miss"))
+            .agg(F.count(F.lit(1)).alias("n_inside"), F.sum("miss").alias("n_missed"))
+            .select(F.lit(rid).alias("region_id"), "n_inside", "n_missed")
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
 def _q_cell_partition_stats(spark, sf_dir):
     pts = _points(spark, sf_dir)
     return (
@@ -471,7 +528,14 @@ def _q_tile_pixel_stats(spark, sf_dir):
 def _q_image_features(spark, sf_dir):
     from s2geometry_d_spark.operators.multimodal import image_features
 
-    return image_features(synth_images(spark, sf_dir))
+    out = image_features(synth_images(spark, sf_dir))
+    return out.select(
+        "image_id",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("brightness", 6).alias("brightness"),
+    )
 
 
 def _q_ann_lsh(spark, sf_dir):
@@ -515,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_rect_bounds": _q_group_rect_bounds,
         # -- cell-id operators (rows-only; pinned by pytest invariants) --
         "cell_roundtrip": _q_cell_roundtrip,
+        "cell_roundtrip_check": _q_cell_roundtrip_check,
+        "covering_containment_check": _q_covering_containment,
         "covering_cells": _q_covering_cells,
         "cell_partition_stats": _q_cell_partition_stats,
         "cell_area_stats": _q_cell_area_stats,
@@ -1229,11 +1295,87 @@ FROM px GROUP BY image_id, tile_x, tile_y
 """
 
 
+def _covering_containment_sql() -> str:
+    """The covering-completeness invariant per region: every probe-lattice
+    point the region's predicate selects is covered (n_missed = 0), with
+    n_inside derived from the predicate alone."""
+    preds = {rid: demo.cap_predicate_sql(la, ln, r) for rid, la, ln, r in demo.CAPS}
+    preds.update(
+        {rid: demo.rect_predicate_sql(a, b, c, d) for rid, a, b, c, d in demo.RECTS}
+    )
+    preds[demo.POLY_SPEC[0]] = demo.poly_predicate_sql()
+    parts = [
+        f"SELECT '{rid}' AS region_id, count(*) AS n_inside, CAST(0 AS BIGINT) AS n_missed "
+        f"FROM grid WHERE {p}"
+        for rid, p in preds.items()
+    ]
+    return (
+        "WITH grid AS (SELECT -89e0 + 2e0*i.i AS lat, -179e0 + 2e0*j.j AS lng "
+        "FROM (SELECT unnest(generate_series(0, 89)) AS i) i "
+        "CROSS JOIN (SELECT unnest(generate_series(0, 179)) AS j) j) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+def _image_features_sql() -> str:
+    """Whole-image channel means re-derived from the integer-hash codec
+    (the grid=1 case of _tile_pixels_sql); brightness = mean of the three
+    raw channel means in the same float order the kernel evaluates."""
+    m32 = 4294967296
+    pix = (
+        f"CAST(((CAST((doc_id * 2654435761 + y * 7919 + x * 104729 + c * 1299709) % {m32} AS HUGEINT)"
+        f" * 2246822519) % {m32}) AS BIGINT) // 65536 % 256"
+    )
+    ch = "sum(CASE WHEN c = {c} THEN p END) / 4096e0"
+    r, g, b = ch.format(c=0), ch.format(c=1), ch.format(c=2)
+    return f"""
+WITH imgs AS (
+  SELECT doc_id, 'img' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id
+  FROM documents
+),
+coords AS (
+  SELECT yy.y, xx.x, cc.c
+  FROM (SELECT unnest(generate_series(0, 63)) AS y) yy
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS x) xx
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) cc
+),
+px AS (
+  SELECT image_id, c,
+         CASE WHEN doc_id % 2 = 1 THEN ({pix}) // 4 * 4 ELSE {pix} END AS p
+  FROM imgs CROSS JOIN coords
+)
+SELECT image_id,
+       round({r}, 6) AS mean_r,
+       round({g}, 6) AS mean_g,
+       round({b}, 6) AS mean_b,
+       round(({r} + {g} + {b}) / 3e0, 6) AS brightness
+FROM px GROUP BY image_id
+"""
+
+
+def _image_verify_sql() -> str:
+    """Per-row payload invariant as a gate: every image decodes above the
+    PSNR threshold with a matching caption; fmt follows the id parity
+    (sources/images.py)."""
+    return """
+SELECT 'img' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       true AS psnr_ok, true AS caption_ok
+FROM documents
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pip_cap_join": _pip_cap_sql(),
         "tile_containment_check": _tile_containment_sql(),
         "tile_pixel_stats": _tile_pixels_sql(),
+        "image_features": _image_features_sql(),
+        "image_verify": _image_verify_sql(),
+        "cell_roundtrip_check": (
+            f"SELECT o_orderkey AS point_id, true AS ok FROM orders"
+        ),
+        "covering_containment_check": _covering_containment_sql(),
         "within_distance_join": _within_distance_sql(),
         "within_distance_polyline": _within_polyline_sql(),
         "group_cap_bounds": _group_bounds_sql(),

@@ -194,13 +194,16 @@ def image_features(images: DataFrame) -> DataFrame:
                 continue
             dec = _decode_batch(pdf).astype(np.float64)
             means = dec.mean(axis=(1, 2))  # (n, 3)
+            # raw doubles out; rounding happens SQL-side (HALF_UP parity
+            # with the oracle — integer-pixel means land on dyadic ties
+            # where numpy banker's rounding diverges)
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"].to_numpy(),
-                    "mean_r": np.round(means[:, 0], 4),
-                    "mean_g": np.round(means[:, 1], 4),
-                    "mean_b": np.round(means[:, 2], 4),
-                    "brightness": np.round(means.mean(axis=1), 4),
+                    "mean_r": means[:, 0],
+                    "mean_g": means[:, 1],
+                    "mean_b": means[:, 2],
+                    "brightness": means.mean(axis=1),
                 }
             )
 
