@@ -538,6 +538,25 @@ def _q_image_features(spark, sf_dir):
     )
 
 
+def _q_image_dedup(spark, sf_dir):
+    """Content-based image dedup over DECODED pixels (quantized tile-mean
+    signatures): the corpus is the image table plus renamed copies, so
+    every group is a true pixel-content duplicate pair; the oracle
+    re-derives signatures from the codec formula end-to-end."""
+    from s2geometry_d_spark.operators.multimodal import image_tile_signature
+
+    imgs = synth_images(spark, sf_dir)
+    corpus = imgs.unionByName(
+        imgs.withColumn("image_id", F.concat(F.lit("dup_"), F.col("image_id")))
+    )
+    sigs = image_tile_signature(corpus)
+    return (
+        sigs.groupBy("sig")
+        .agg(F.count("*").alias("n_images"), F.min("image_id").alias("min_image_id"))
+        .filter(F.col("n_images") > 1)
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     return similarity.cosine_topk_lsh(_embeddings(spark, sf_dir))
 
@@ -589,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_verify": _q_image_verify,
         "image_features": _q_image_features,
         "tile_pixel_stats": _q_tile_pixel_stats,
+        "image_dedup": _q_image_dedup,
         "ann_cosine_lsh": _q_ann_lsh,
         "ann_cosine_ivf": _q_ann_ivf,
         "dedup_embedding_cosine": _q_dedup_embedding,
@@ -1353,6 +1373,61 @@ FROM px GROUP BY image_id
 """
 
 
+def _image_dedup_sql() -> str:
+    """Signatures re-derived end-to-end from the codec formula: pixels ->
+    per-tile means (same float op order: sum/256 then /quant) -> quantized
+    tokens -> sorted concat -> md5; duplicate groups from the renamed-copy
+    corpus construction."""
+    m32 = 4294967296
+    pix = (
+        f"CAST(((CAST((doc_id * 2654435761 + y * 7919 + x * 104729 + c * 1299709) % {m32} AS HUGEINT)"
+        f" * 2246822519) % {m32}) AS BIGINT) // 65536 % 256"
+    )
+    q = "CAST(floor((sum(CASE WHEN c = {c} THEN p END) / 256e0) / 16e0) AS INTEGER)"
+    return f"""
+WITH imgs AS (
+  SELECT doc_id, 'img' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id
+  FROM documents
+),
+coords AS (
+  SELECT yy.y, xx.x, cc.c
+  FROM (SELECT unnest(generate_series(0, 63)) AS y) yy
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS x) xx
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) cc
+),
+px AS (
+  SELECT doc_id,
+         CAST(x // 16 AS INTEGER) AS tile_x,
+         CAST(y // 16 AS INTEGER) AS tile_y,
+         c,
+         CASE WHEN doc_id % 2 = 1 THEN ({pix}) // 4 * 4 ELSE {pix} END AS p
+  FROM imgs CROSS JOIN coords
+),
+tiles AS (
+  SELECT doc_id, tile_x, tile_y,
+         {q.format(c=0)} AS qr, {q.format(c=1)} AS qg, {q.format(c=2)} AS qb
+  FROM px GROUP BY doc_id, tile_x, tile_y
+),
+toks AS (
+  SELECT doc_id,
+         CAST(tile_y AS VARCHAR) || ':' || CAST(tile_x AS VARCHAR) || ':' ||
+         CAST(qr AS VARCHAR) || ':' || CAST(qg AS VARCHAR) || ':' || CAST(qb AS VARCHAR) AS tok
+  FROM tiles
+),
+sigs AS (
+  SELECT doc_id, md5(string_agg(tok, '|' ORDER BY tok)) AS sig
+  FROM toks GROUP BY doc_id
+),
+corpus AS (
+  SELECT i.image_id, s.sig FROM sigs s JOIN imgs i USING (doc_id)
+  UNION ALL
+  SELECT 'dup_' || i.image_id, s.sig FROM sigs s JOIN imgs i USING (doc_id)
+)
+SELECT sig, count(*) AS n_images, min(image_id) AS min_image_id
+FROM corpus GROUP BY sig HAVING count(*) > 1
+"""
+
+
 def _image_verify_sql() -> str:
     """Per-row payload invariant as a gate: every image decodes above the
     PSNR threshold with a matching caption; fmt follows the id parity
@@ -1372,6 +1447,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_pixel_stats": _tile_pixels_sql(),
         "image_features": _image_features_sql(),
         "image_verify": _image_verify_sql(),
+        "image_dedup": _image_dedup_sql(),
         "cell_roundtrip_check": (
             f"SELECT o_orderkey AS point_id, true AS ok FROM orders"
         ),

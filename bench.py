@@ -44,6 +44,7 @@ EXTRA = [
     "clip_polylines",
     "tile_containment_check",
     "tile_pixel_stats",
+    "image_dedup",
     "group_rect_bounds",
     "cell_area_stats",
     "dedup_minhash_lsh",

@@ -182,6 +182,39 @@ def tile_pixel_stats(images: DataFrame, grid: int = 4) -> DataFrame:
     return images.mapInPandas(run, schema)
 
 
+def image_tile_signature(images: DataFrame, grid: int = 4, quant: int = 16) -> DataFrame:
+    """Content-based image signature from DECODED pixels: per-tile channel
+    means quantized to ``quant`` levels, serialized in a deterministic
+    token order, md5-hashed — a perceptual-hash-style fingerprint whose
+    every step is engine-portable (the SQL oracle re-derives the pixels,
+    the means, the quantization and the hash).
+
+    Returns (image_id, sig).  Dedup = groupBy(sig); unlike the metadata
+    phash column this fingerprints the actual pixel content, so re-encoded
+    copies (e.g. the png/jpeg pair of the same render) collide exactly when
+    their quantized tiles agree."""
+    from pyspark.sql import functions as F
+
+    t = tile_pixel_stats(images, grid)
+    tok = F.concat_ws(
+        ":",
+        F.col("tile_y").cast("string"),
+        F.col("tile_x").cast("string"),
+        F.floor(F.col("mean_r") / float(quant)).cast("int").cast("string"),
+        F.floor(F.col("mean_g") / float(quant)).cast("int").cast("string"),
+        F.floor(F.col("mean_b") / float(quant)).cast("int").cast("string"),
+    )
+    return (
+        t.select("image_id", tok.alias("tok"))
+        .groupBy("image_id")
+        .agg(
+            F.md5(
+                F.concat_ws("|", F.sort_array(F.collect_list("tok"))).cast("binary")
+            ).alias("sig")
+        )
+    )
+
+
 def image_features(images: DataFrame) -> DataFrame:
     """Cheap feature extraction over the binary column (mean channels)."""
 
