@@ -80,8 +80,12 @@ def hyperplane_signatures(
     embeddings: DataFrame, tables: int = LSH_TABLES, planes: int = LSH_PLANES
 ) -> DataFrame:
     """Banded multi-table LSH: table t's bucket is the ``planes``-bit sign
-    signature against deterministic pseudo-random hyperplanes (component i
-    of plane p = sin((i+1)*(p+1)*0.7391), engine-reproducible).
+    signature against deterministic pseudo-random GAUSSIAN hyperplanes
+    (seeded PCG64 — platform-stable).  Gaussian directions matter: a
+    structured sin((i+1)(p+1)c) construction used earlier produced heavily
+    correlated tables, capping recall at ~0.65 on a planted-cluster corpus
+    where banding theory (and the Gaussian family) deliver ~1.0
+    (tests/test_similarity.py::TestPlantedNeighbors).
 
     Returns one row per (vec, table): (vec_id, embedding, tbl, bucket) —
     the banded structure fixes the single-table skew problem: each table
@@ -98,10 +102,10 @@ def hyperplane_signatures(
     def buckets(emb: pd.Series) -> pd.Series:
         X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
         dim = X.shape[1]
-        # plane p, component i = sin((i+1)*(p+1)*0.7391)
-        P = np.sin(
-            np.outer(np.arange(1, n_planes + 1) * 0.7391, np.arange(1, dim + 1))
-        ).T  # (dim, n_planes)
+        # seeded Gaussian plane matrix (dim, n_planes): independent
+        # directions per (table, plane) — regenerated identically in every
+        # task from the fixed seed
+        P = np.random.default_rng(1234).normal(size=(dim, n_planes))
         bits = (X @ P) >= 0
         out = np.zeros((X.shape[0], tables), dtype=np.int32)
         for t in range(tables):
@@ -288,7 +292,9 @@ def cosine_topk_ivf(
     )
     probe_rows = []
     for _, r in qrows.iterrows():
-        v = np.asarray(r.embedding, dtype=np.float64)
+        # np.array (copy): asarray can hand back a READ-ONLY Arrow-backed
+        # buffer and the in-place divide crashes
+        v = np.array(r.embedding, dtype=np.float64)
         v /= max(np.linalg.norm(v), 1e-30)
         top = np.argsort(-(C @ v))[:nprobe]
         probe_rows.extend((int(r.vec_id), int(c)) for c in top)
