@@ -93,3 +93,19 @@ def test_minhash_lsh_planted_near_duplicates(spark):
     got = {(r.doc_a, r.doc_b) for r in D.dedup_minhash_lsh(docs).collect()}
     hit = sum(1 for p in pairs if p in got)
     assert hit / len(pairs) >= 0.8, f"planted near-dup recovery {hit}/100"
+
+
+def test_degenerate_boilerplate_corpus_is_capped_not_quadratic(spark):
+    """All-identical docs: every (band, sig) bucket holds the whole corpus,
+    exceeding BUCKET_CAP — the cap DEFINES these buckets away (dropped
+    before collect_list materializes anything), so the LSH pair output is
+    empty while exact dedup still finds the single duplicate group."""
+    from s2geometry_d_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere " * 3) for i in range(300)],
+        ["doc_id", "text"],
+    )
+    assert D.dedup_minhash_lsh(docs).count() == 0
+    groups = D.dedup_exact(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 300
