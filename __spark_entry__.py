@@ -252,6 +252,26 @@ WITHIN_QUERIES = [("q1", 48.85, 2.35), ("q2", -33.86, 151.21), ("q3", 10.0, 179.
 WITHIN_RADIUS = 8.0
 
 
+def _q_polygon_union_many(spark, sf_dir):
+    """N-way polygon union per group (S2Polygon.destructiveUnion shape):
+    applyInPandas folds the pairwise overlay; the oracle re-derives the
+    union boundary independently (a point is on ∂(∪P) iff on some ∂P_i and
+    strictly inside no other)."""
+    from s2geometry_d_spark.operators.overlay import (
+        union_groups_dataframe,
+        union_vertices,
+    )
+
+    df = union_groups_dataframe(spark, demo.union_groups())
+    out = union_vertices(df)
+    return out.select(
+        "group_id",
+        F.round("vx", 6).alias("vx"),
+        F.round("vy", 6).alias("vy"),
+        F.round("vz", 6).alias("vz"),
+    )
+
+
 def _q_clip_polylines(spark, sf_dir):
     """Clip the polyline TABLE to a convex polygon (the 1D boolean
     operand): one row per clipped-chain vertex; the oracle re-derives the
@@ -590,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossing_edges_join": _q_crossing_edges,
         "polygon_overlay": _q_polygon_overlay_op("intersection"),
         "clip_polylines": _q_clip_polylines,
+        "polygon_union_many": _q_polygon_union_many,
         "polygon_overlay_union": _q_polygon_overlay_op("union"),
         "polygon_overlay_diff": _q_polygon_overlay_op("difference"),
         "within_distance_join": _q_within_distance,
@@ -1471,6 +1492,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_overlay_union": demo.overlay_sql("union"),
         "polygon_overlay_diff": demo.overlay_sql("difference"),
         "clip_polylines": _clip_polylines_sql(),
+        "polygon_union_many": demo.union_many_sql(),
         "dedup_exact": (
             "WITH corpus AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents) "

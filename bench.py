@@ -42,6 +42,7 @@ EXTRA = [
     "nearest_polyline_join",
     "polygon_overlay",
     "clip_polylines",
+    "polygon_union_many",
     "tile_containment_check",
     "tile_pixel_stats",
     "image_dedup",

@@ -45,6 +45,54 @@ def pairs_dataframe(spark: SparkSession, pairs) -> DataFrame:
     return spark.createDataFrame(rows, PAIR_SCHEMA)
 
 
+GROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("group_id", T.IntegerType(), False),
+        T.StructField("polys", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))), False),
+    ]
+)
+
+
+def union_groups_dataframe(spark: SparkSession, groups) -> DataFrame:
+    """groups: [(group_id, [poly_vertices_xyz, ...])]."""
+    rows = [
+        (gid, [[list(v) for v in poly] for poly in polys]) for gid, polys in groups
+    ]
+    return spark.createDataFrame(rows, GROUP_SCHEMA)
+
+
+def union_vertices(groups_df: DataFrame) -> DataFrame:
+    """N-way polygon union per GROUP (S2Polygon.destructiveUnion shape):
+    one applyInPandas group per union job, folding the pairwise overlay;
+    one row per result-boundary vertex (group_id, vx, vy, vz)."""
+    from ..s2core.boolean import union_many
+    from ..s2core.loops import Loop, Polygon
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            polys = [
+                Polygon([Loop([tuple(v) for v in poly])], "p")
+                for poly in row["polys"]
+            ]
+            for vs in union_many(polys):
+                for v in vs:
+                    out.append((row["group_id"], v[0], v[1], v[2]))
+        return pd.DataFrame(out, columns=["group_id", "vx", "vy", "vz"])
+
+    return groups_df.groupBy("group_id").applyInPandas(run, OUT_SCHEMA_UNION)
+
+
+OUT_SCHEMA_UNION = T.StructType(
+    [
+        T.StructField("group_id", T.IntegerType(), False),
+        T.StructField("vx", T.DoubleType(), False),
+        T.StructField("vy", T.DoubleType(), False),
+        T.StructField("vz", T.DoubleType(), False),
+    ]
+)
+
+
 def clip_polylines_to_polygon(
     edges_df: DataFrame,
     polygon,

@@ -309,6 +309,121 @@ SELECT pair_id, round(x, 6) AS vx, round(y, 6) AS vy, round(z, 6) AS vz FROM all
 """
 
 
+# -- n-way union groups ----------------------------------------------------
+UNION_GROUPS = 8
+UNION_POLYS = 4
+UNION_N = 12
+
+
+def union_group_specs():
+    out = []
+    for g in range(UNION_GROUPS):
+        base_lat = -35.0 + 9.0 * g
+        base_lng = -140.0 + 30.0 * g
+        polys = [
+            (base_lat + 2.5 * i, base_lng + 4.0 * i, 5.0 + ((g + i) % 3), UNION_N)
+            for i in range(UNION_POLYS)
+        ]
+        out.append((g, polys))
+    return out
+
+
+def union_groups():
+    """[(group_id, [poly_vertices, ...])] — chains of overlapping convex
+    12-gons; vertex lists shared verbatim (as literals) with the oracle."""
+    return [
+        (g, [Loop.make_regular(*spec).vertices for spec in specs])
+        for g, specs in union_group_specs()
+    ]
+
+
+def union_many_sql() -> str:
+    """Union-boundary vertex multiset derived INDEPENDENTLY of the overlay
+    fold: a point is on the boundary of ∪P_i iff it lies on some ∂P_i and
+    strictly inside no other — retained original vertices (outside every
+    other polygon: every other's min edge-det < 0) plus pairwise crossing
+    points outside every third polygon."""
+
+    def lit(x: float) -> str:
+        return format(x, ".17e")
+
+    uv_rows = []
+    for g, polys in union_groups():
+        for p, verts in enumerate(polys):
+            for j, v in enumerate(verts):
+                uv_rows.append(f"({g}, {p}, {j}, {lit(v[0])}, {lit(v[1])}, {lit(v[2])})")
+    n = UNION_N
+    return f"""
+WITH uv(g, p, j, x, y, z) AS (VALUES {", ".join(uv_rows)}),
+ed AS (
+  SELECT a.g, a.p, a.j,
+         a.x AS ax, a.y AS ay, a.z AS az, b.x AS bx, b.y AS by, b.z AS bz,
+         a.y*b.z - a.z*b.y AS nx, a.z*b.x - a.x*b.z AS ny, a.x*b.y - a.y*b.x AS nz
+  FROM uv a JOIN uv b ON b.g = a.g AND b.p = a.p AND b.j = (a.j + 1) % {n}
+),
+-- original vertices outside every OTHER polygon of the group
+vq AS (
+  SELECT v.g, v.p, v.j, v.x, v.y, v.z, e.p AS q,
+         min(e.nx*v.x + e.ny*v.y + e.nz*v.z) AS mind
+  FROM uv v JOIN ed e ON e.g = v.g AND e.p <> v.p
+  GROUP BY v.g, v.p, v.j, v.x, v.y, v.z, e.p
+),
+keepv AS (
+  SELECT g, x, y, z FROM vq GROUP BY g, p, j, x, y, z HAVING max(mind) < 0
+),
+-- pairwise proper crossings
+pairs AS (
+  SELECT e1.g, e1.p AS p1, e2.p AS p2,
+         e1.ax, e1.ay, e1.az, e1.bx, e1.by, e1.bz,
+         e1.nx AS n1x, e1.ny AS n1y, e1.nz AS n1z,
+         e2.nx AS n2x, e2.ny AS n2y, e2.nz AS n2z,
+         e2.ax AS cx, e2.ay AS cy, e2.az AS cz,
+         e2.bx AS dx, e2.by AS dy, e2.bz AS dz
+  FROM ed e1 JOIN ed e2 ON e2.g = e1.g AND e1.p < e2.p
+),
+xr AS (
+  SELECT g, p1, p2,
+         n1y*n2z - n1z*n2y AS xx, n1z*n2x - n1x*n2z AS xy, n1x*n2y - n1y*n2x AS xz,
+         ax, ay, az, bx, by, bz
+  FROM pairs
+  WHERE (n1x*cx + n1y*cy + n1z*cz)*(n1x*dx + n1y*dy + n1z*dz) < 0
+    AND (n1x*cx + n1y*cy + n1z*cz)*(n2x*ax + n2y*ay + n2z*az) < 0
+    AND (n1x*cx + n1y*cy + n1z*cz)*(n2x*bx + n2y*by + n2z*bz) > 0
+),
+xs AS (
+  SELECT g, p1, p2,
+         CASE WHEN xx*(ax+bx) + xy*(ay+by) + xz*(az+bz) < 0 THEN -xx ELSE xx END AS sx,
+         CASE WHEN xx*(ax+bx) + xy*(ay+by) + xz*(az+bz) < 0 THEN -xy ELSE xy END AS sy,
+         CASE WHEN xx*(ax+bx) + xy*(ay+by) + xz*(az+bz) < 0 THEN -xz ELSE xz END AS sz
+  FROM xr
+),
+xn AS (
+  SELECT row_number() OVER () AS xid, g, p1, p2,
+         sx / sqrt(sx*sx + sy*sy + sz*sz) AS x,
+         sy / sqrt(sx*sx + sy*sy + sz*sz) AS y,
+         sz / sqrt(sx*sx + sy*sy + sz*sz) AS z
+  FROM xs
+),
+-- crossings outside every THIRD polygon (none exist when the group has
+-- only the two crossing polygons touching that point)
+xq AS (
+  SELECT xn.xid, xn.g, xn.x, xn.y, xn.z, e.p AS r,
+         min(e.nx*xn.x + e.ny*xn.y + e.nz*xn.z) AS mind
+  FROM xn JOIN ed e ON e.g = xn.g AND e.p <> xn.p1 AND e.p <> xn.p2
+  GROUP BY xn.xid, xn.g, xn.x, xn.y, xn.z, e.p
+),
+keepx AS (
+  SELECT g, x, y, z FROM xq GROUP BY xid, g, x, y, z HAVING max(mind) < 0
+),
+allv AS (
+  SELECT g, x, y, z FROM keepv
+  UNION ALL
+  SELECT g, x, y, z FROM keepx
+)
+SELECT g AS group_id, round(x, 6) AS vx, round(y, 6) AS vy, round(z, 6) AS vz FROM allv
+"""
+
+
 # -- polyline fixture (a Paris -> Tokyo "route") ---------------------------
 POLYLINE_WAYPOINTS = [
     (48.85, 2.35),

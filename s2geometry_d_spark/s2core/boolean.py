@@ -221,6 +221,23 @@ def overlay(poly_a, poly_b, op: str) -> list[list[tuple]]:
     return loops
 
 
+def union_many(polygons: list) -> list[list[tuple]]:
+    """N-way union by folding the pairwise overlay (the reference's
+    S2Polygon.destructiveUnion over s2boolean_operation.d): U_i =
+    overlay(U_{i-1}, P_i, 'union').  Intermediate results (possibly
+    multi-loop, possibly with holes) re-enter as interior-left loop sets,
+    which the ILRegion-based classification handles unchanged."""
+    from .loops import Loop, Polygon
+
+    if not polygons:
+        return []
+    acc = polygons[0]
+    for p in polygons[1:]:
+        loops = overlay(acc, p, "union")
+        acc = Polygon([Loop(vs) for vs in loops], "u")
+    return [lp.vertices for lp in acc.loops]
+
+
 def clip_polyline(vertices: list, poly, keep_inside: bool = True) -> list[list[tuple]]:
     """Clip an open polyline to a polygon (S2Polyline::intersect semantics,
     s2polyline.d / s2boolean_operation.d applied to a 1D operand): split

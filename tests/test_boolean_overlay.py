@@ -193,3 +193,22 @@ def test_clip_polyline_partitions_vertices():
     for ch in outside_chains:
         for a, b in zip(ch, ch[1:]):
             assert not r.contains_point(B._arc_midpoint(a, b))
+
+
+def test_union_many_membership_and_area():
+    """N-way union fold: membership sampling (in ∪P iff in some P) and
+    area supermodularity over a chain of overlapping polygons."""
+    polys = [
+        Polygon([Loop.make_regular(10.0 + 2.5 * i, 20.0 + 4.0 * i, 5.0 + (i % 3), 12)], f"p{i}")
+        for i in range(4)
+    ]
+    loops = B.union_many(polys)
+    r = B.ILRegion.from_loops(loops)
+    area = B.loops_signed_area(loops)
+    single = [B.loops_signed_area([p.loops[0].vertices]) for p in polys]
+    assert max(single) < area <= sum(single) + 1e-12
+    rnd = random.Random(21)
+    for _ in range(500):
+        p = latlng_point(10.0 + rnd.uniform(-15, 25), 20.0 + rnd.uniform(-15, 30))
+        want = any(q.contains_point(p) for q in polys)
+        assert r.contains_point(p) == want
