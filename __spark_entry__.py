@@ -252,6 +252,47 @@ WITHIN_QUERIES = [("q1", 48.85, 2.35), ("q2", -33.86, 151.21), ("q3", 10.0, 179.
 WITHIN_RADIUS = 8.0
 
 
+def _q_polygon_relations(spark, sf_dir):
+    """polygon x polygon relations over a pairs table (s2boolean_operation
+    contains/intersects, s2polygon.d:651-722) via the engine's generic
+    boundary sweep; the oracle re-derives each relation by the convex
+    characterization (vertex containment + proper crossings)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from s2geometry_d_spark.operators.overlay import pairs_dataframe
+    from s2geometry_d_spark.s2core.loops import Loop, Polygon
+
+    df = pairs_dataframe(spark, demo.relation_pairs())
+    schema = T.StructType(
+        [
+            T.StructField("pair_id", T.IntegerType(), False),
+            T.StructField("intersects", T.BooleanType(), False),
+            T.StructField("a_contains_b", T.BooleanType(), False),
+            T.StructField("b_contains_a", T.BooleanType(), False),
+        ]
+    )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            a = Polygon([Loop([tuple(v) for v in row["a_verts"]])], "a")
+            b = Polygon([Loop([tuple(v) for v in row["b_verts"]])], "b")
+            out.append(
+                (
+                    row["pair_id"],
+                    a.intersects(b),
+                    a.contains_polygon(b),
+                    b.contains_polygon(a),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["pair_id", "intersects", "a_contains_b", "b_contains_a"]
+        )
+
+    return df.groupBy("pair_id").applyInPandas(run, schema)
+
+
 def _q_polygon_union_many(spark, sf_dir):
     """N-way polygon union per group (S2Polygon.destructiveUnion shape):
     applyInPandas folds the pairwise overlay; the oracle re-derives the
@@ -611,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlay": _q_polygon_overlay_op("intersection"),
         "clip_polylines": _q_clip_polylines,
         "polygon_union_many": _q_polygon_union_many,
+        "polygon_relations": _q_polygon_relations,
         "polygon_overlay_union": _q_polygon_overlay_op("union"),
         "polygon_overlay_diff": _q_polygon_overlay_op("difference"),
         "within_distance_join": _q_within_distance,
@@ -1493,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_overlay_diff": demo.overlay_sql("difference"),
         "clip_polylines": _clip_polylines_sql(),
         "polygon_union_many": demo.union_many_sql(),
+        "polygon_relations": demo.polygon_relations_sql(),
         "dedup_exact": (
             "WITH corpus AS (SELECT doc_id, text FROM documents "
             "UNION ALL SELECT doc_id + 1000000, text FROM documents) "

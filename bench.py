@@ -43,6 +43,7 @@ EXTRA = [
     "polygon_overlay",
     "clip_polylines",
     "polygon_union_many",
+    "polygon_relations",
     "tile_containment_check",
     "tile_pixel_stats",
     "image_dedup",

@@ -309,6 +309,100 @@ SELECT pair_id, round(x, 6) AS vx, round(y, 6) AS vy, round(z, 6) AS vz FROM all
 """
 
 
+# -- polygon relation pairs ------------------------------------------------
+# the overlay pairs (all properly overlapping) plus disjoint / contained /
+# far configurations so every relation outcome is exercised
+
+
+def relation_pair_specs():
+    out = [(k, a, b) for k, a, b in overlay_pair_specs()]
+    extra = [
+        # disjoint, same latitude band
+        ((20.0, -60.0, 5.0, OVERLAY_N_A), (20.0, -30.0, 5.0, OVERLAY_N_B)),
+        # B contained in A
+        ((-10.0, 80.0, 10.0, OVERLAY_N_A), (-10.0, 80.0, 3.0, OVERLAY_N_B)),
+        # A contained in B
+        ((45.0, 150.0, 2.5, OVERLAY_N_A), (45.0, 151.0, 9.0, OVERLAY_N_B)),
+        # disjoint across hemispheres
+        ((60.0, 10.0, 6.0, OVERLAY_N_A), (-60.0, -170.0, 6.0, OVERLAY_N_B)),
+    ]
+    base = len(out)
+    out.extend((base + i, a, b) for i, (a, b) in enumerate(extra))
+    return out
+
+
+def relation_pairs():
+    return [
+        (k, Loop.make_regular(*a).vertices, Loop.make_regular(*b).vertices)
+        for k, a, b in relation_pair_specs()
+    ]
+
+
+def polygon_relations_sql() -> str:
+    """Relations re-derived by the CONVEX characterization (independent of
+    the engine's generic boundary sweep): intersects iff any vertex of one
+    lies in the other or any edge pair properly crosses; X contains Y iff
+    every Y vertex lies in X (convexity closes the edges)."""
+
+    def lit(x: float) -> str:
+        return format(x, ".17e")
+
+    av_rows, bv_rows = [], []
+    for k, averts, bverts in relation_pairs():
+        for j, v in enumerate(averts):
+            av_rows.append(f"({k}, {j}, {lit(v[0])}, {lit(v[1])}, {lit(v[2])})")
+        for j, v in enumerate(bverts):
+            bv_rows.append(f"({k}, {j}, {lit(v[0])}, {lit(v[1])}, {lit(v[2])})")
+    na, nb = OVERLAY_N_A, OVERLAY_N_B
+    return f"""
+WITH av(pair_id, j, x, y, z) AS (VALUES {", ".join(av_rows)}),
+bv(pair_id, j, x, y, z) AS (VALUES {", ".join(bv_rows)}),
+ae AS (
+  SELECT p.pair_id, p.x AS ax, p.y AS ay, p.z AS az, q.x AS bx, q.y AS by, q.z AS bz,
+         p.y*q.z - p.z*q.y AS nx, p.z*q.x - p.x*q.z AS ny, p.x*q.y - p.y*q.x AS nz
+  FROM av p JOIN av q ON q.pair_id = p.pair_id AND q.j = (p.j + 1) % {na}
+),
+be AS (
+  SELECT p.pair_id, p.x AS cx, p.y AS cy, p.z AS cz, q.x AS dx, q.y AS dy, q.z AS dz,
+         p.y*q.z - p.z*q.y AS mx, p.z*q.x - p.x*q.z AS my, p.x*q.y - p.y*q.x AS mz
+  FROM bv p JOIN bv q ON q.pair_id = p.pair_id AND q.j = (p.j + 1) % {nb}
+),
+a_in_b AS (
+  SELECT v.pair_id, count(*) AS n_in
+  FROM (
+    SELECT v.pair_id, v.j, min(e.mx*v.x + e.my*v.y + e.mz*v.z) AS mind
+    FROM av v JOIN be e ON e.pair_id = v.pair_id
+    GROUP BY v.pair_id, v.j
+  ) v WHERE v.mind > 0 GROUP BY v.pair_id
+),
+b_in_a AS (
+  SELECT v.pair_id, count(*) AS n_in
+  FROM (
+    SELECT v.pair_id, v.j, min(e.nx*v.x + e.ny*v.y + e.nz*v.z) AS mind
+    FROM bv v JOIN ae e ON e.pair_id = v.pair_id
+    GROUP BY v.pair_id, v.j
+  ) v WHERE v.mind > 0 GROUP BY v.pair_id
+),
+crossings AS (
+  SELECT e1.pair_id, count(*) AS n_x
+  FROM ae e1 JOIN be e2 ON e2.pair_id = e1.pair_id
+  WHERE (e1.nx*e2.cx + e1.ny*e2.cy + e1.nz*e2.cz)*(e1.nx*e2.dx + e1.ny*e2.dy + e1.nz*e2.dz) < 0
+    AND (e1.nx*e2.cx + e1.ny*e2.cy + e1.nz*e2.cz)*(e2.mx*e1.ax + e2.my*e1.ay + e2.mz*e1.az) < 0
+    AND (e1.nx*e2.cx + e1.ny*e2.cy + e1.nz*e2.cz)*(e2.mx*e1.bx + e2.my*e1.by + e2.mz*e1.bz) > 0
+  GROUP BY e1.pair_id
+),
+ids AS (SELECT DISTINCT pair_id FROM av)
+SELECT i.pair_id,
+       (coalesce(a.n_in, 0) > 0 OR coalesce(b.n_in, 0) > 0 OR coalesce(x.n_x, 0) > 0) AS intersects,
+       (coalesce(b.n_in, 0) = {nb}) AS a_contains_b,
+       (coalesce(a.n_in, 0) = {na}) AS b_contains_a
+FROM ids i
+LEFT JOIN a_in_b a USING (pair_id)
+LEFT JOIN b_in_a b USING (pair_id)
+LEFT JOIN crossings x USING (pair_id)
+"""
+
+
 # -- n-way union groups ----------------------------------------------------
 UNION_GROUPS = 8
 UNION_POLYS = 4
