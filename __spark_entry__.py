@@ -137,6 +137,17 @@ def _q_pip_bigpoly(spark, sf_dir):
     return points_in_regions(pts, [demo.bigpoly_region()]).select("point_id")
 
 
+def _q_pip_many_poly(spark, sf_dir):
+    """PIP against 1000 hash-placed hexagons — the many-region covering
+    join at 100x the demo-region cardinality (north-rule broadcast-vs-SMJ
+    evidence at real region counts); the oracle evaluates each polygon's
+    closed-form convex predicate over every point."""
+    pts = _points(spark, sf_dir)
+    return points_in_regions(pts, demo.many_poly_regions()).select(
+        "region_id", "point_id"
+    )
+
+
 def _q_spatial_antijoin(spark, sf_dir):
     pts = _points(spark, sf_dir)
     out = points_not_in_regions(pts, demo.all_regions(), ["point_id"])
@@ -641,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rect_join": _q_pip_rect,
         "pip_poly_join": _q_pip_poly,
         "pip_bigpoly_join": _q_pip_bigpoly,
+        "pip_many_poly_join": _q_pip_many_poly,
         "spatial_antijoin": _q_spatial_antijoin,
         "knn_join": _q_knn,
         "knn_edges_join": _q_knn_edges,
@@ -1522,6 +1534,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_rect_join": _pip_rect_sql(),
         "pip_poly_join": _pip_poly_sql(),
         "pip_bigpoly_join": _pip_bigpoly_sql(),
+        "pip_many_poly_join": demo.many_poly_sql(),
         "spatial_antijoin": _spatial_antijoin_sql(),
         "knn_join": _knn_sql(),
         "knn_edges_join": _knn_edges_sql(),

@@ -309,6 +309,77 @@ SELECT pair_id, round(x, 6) AS vx, round(y, 6) AS vy, round(z, 6) AS vz FROM all
 """
 
 
+# -- many-polygon PIP fixture ----------------------------------------------
+# 1000 hash-placed convex hexagons: the many-region covering join at 100x
+# the demo-region cardinality (north-rule broadcast-vs-SMJ evidence), with
+# a closed-form per-polygon predicate for the oracle.
+MANY_POLY_COUNT = 1000
+MANY_POLY_RADIUS = 1.5
+MANY_POLY_N = 6
+_MANY_POLYS = None
+
+
+def many_poly_specs():
+    out = []
+    for i in range(MANY_POLY_COUNT):
+        u = ((i * 2654435761 + 97) % 1000003) / 1000003
+        v = ((i * 2246822519 + 131) % 1000003) / 1000003
+        lat = math.degrees(math.asin(2 * u - 1)) * 0.95  # keep off the poles
+        lng = 360.0 * v - 180.0
+        out.append((f"mp{i:04d}", lat, lng, MANY_POLY_RADIUS, MANY_POLY_N))
+    return out
+
+
+def many_poly_regions():
+    """Memoized (cell-index reuse across invocations, like bigpoly)."""
+    global _MANY_POLYS
+    if _MANY_POLYS is None:
+        _MANY_POLYS = [
+            (rid, Polygon([Loop.make_regular(lat, lng, r, n)], rid))
+            for rid, lat, lng, r, n in many_poly_specs()
+        ]
+    return _MANY_POLYS
+
+
+def many_poly_sql() -> str:
+    """Per-polygon convex predicate over inlined edge normals: one VALUES
+    row per polygon with all 6 normals, cross-joined against the points
+    CTE — 15M x 6 determinant tests, closed form."""
+
+    def lit(x: float) -> str:
+        return format(x, ".17e")
+
+    rows = []
+    for rid, poly in many_poly_regions():
+        v = poly.loops[0].vertices
+        cols = []
+        for i in range(len(v)):
+            a, b = v[i], v[(i + 1) % len(v)]
+            cols.extend(
+                (
+                    lit(a[1] * b[2] - a[2] * b[1]),
+                    lit(a[2] * b[0] - a[0] * b[2]),
+                    lit(a[0] * b[1] - a[1] * b[0]),
+                )
+            )
+        rows.append(f"('{rid}', {', '.join(cols)})")
+    n_cols = ", ".join(
+        f"n{k}x, n{k}y, n{k}z" for k in range(MANY_POLY_N)
+    )
+    px, py, pz = xyz_sql("p.lat", "p.lng")
+    conds = " AND ".join(
+        f"(n{k}x*px + n{k}y*py + n{k}z*pz > 0)" for k in range(MANY_POLY_N)
+    )
+    return f"""
+WITH points AS ({points_cte()}),
+pxyz AS (SELECT point_id, {px} AS px, {py} AS py, {pz} AS pz FROM points p),
+poly(poly_id, {n_cols}) AS (VALUES {", ".join(rows)})
+SELECT poly.poly_id AS region_id, pxyz.point_id
+FROM pxyz CROSS JOIN poly
+WHERE {conds}
+"""
+
+
 # -- polygon relation pairs ------------------------------------------------
 # the overlay pairs (all properly overlapping) plus disjoint / contained /
 # far configurations so every relation outcome is exercised
