@@ -148,6 +148,34 @@ def _q_pip_many_poly(spark, sf_dir):
     )
 
 
+_POLY_INDEX_CACHE: dict = {}
+
+
+def _q_pip_many_poly_table(spark, sf_dir):
+    """Same 1000-polygon PIP through the DISTRIBUTED index-table path
+    (S2ShapeIndex as rows, SURVEY §1.3): applyInPandas builds the index as
+    a table, candidates come from a prefix equi-join + residual range, and
+    boundary parity reads each candidate row's own payload — no
+    driver-held geometry in the plan.  Same oracle as pip_many_poly_join."""
+    from s2geometry_d_spark.operators.poly_index import (
+        build_polygon_index,
+        points_in_polygons_table,
+        polygons_dataframe,
+    )
+
+    key = (spark.sparkContext.applicationId, "many_poly_index")
+    cached = _POLY_INDEX_CACHE.get(key)
+    if cached is None:
+        polys_df = polygons_dataframe(spark, demo.many_poly_regions())
+        idx = build_polygon_index(polys_df).persist()
+        jl = idx.agg(F.min("cov_level")).collect()[0][0]
+        cached = _POLY_INDEX_CACHE[key] = (idx, int(jl))
+    idx, jl = cached
+    pts = _points(spark, sf_dir)
+    out = points_in_polygons_table(pts, idx, join_level=jl)
+    return out.select(F.col("poly_id").alias("region_id"), "point_id")
+
+
 def _q_spatial_antijoin(spark, sf_dir):
     pts = _points(spark, sf_dir)
     out = points_not_in_regions(pts, demo.all_regions(), ["point_id"])
@@ -653,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_poly_join": _q_pip_poly,
         "pip_bigpoly_join": _q_pip_bigpoly,
         "pip_many_poly_join": _q_pip_many_poly,
+        "pip_many_poly_table": _q_pip_many_poly_table,
         "spatial_antijoin": _q_spatial_antijoin,
         "knn_join": _q_knn,
         "knn_edges_join": _q_knn_edges,
@@ -1535,6 +1564,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_poly_join": _pip_poly_sql(),
         "pip_bigpoly_join": _pip_bigpoly_sql(),
         "pip_many_poly_join": demo.many_poly_sql(),
+        "pip_many_poly_table": demo.many_poly_sql(),
         "spatial_antijoin": _spatial_antijoin_sql(),
         "knn_join": _knn_sql(),
         "knn_edges_join": _knn_edges_sql(),

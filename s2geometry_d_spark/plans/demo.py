@@ -322,8 +322,12 @@ _MANY_POLYS = None
 def many_poly_specs():
     out = []
     for i in range(MANY_POLY_COUNT):
-        u = ((i * 2654435761 + 97) % 1000003) / 1000003
-        v = ((i * 2246822519 + 131) % 1000003) / 1000003
+        # multipliers DIFFERENT from the point placement's: with the same
+        # (multiplier, modulus) both sets sample the same rank-1 lattice
+        # with a constant shift, anti-correlating points and polygons
+        # (subsets of polygons saw ZERO points at fixture scale)
+        u = ((i * 1566083941 + 97) % 1000003) / 1000003
+        v = ((i * 1812433253 + 131) % 1000003) / 1000003
         lat = math.degrees(math.asin(2 * u - 1)) * 0.95  # keep off the poles
         lng = 360.0 * v - 180.0
         out.append((f"mp{i:04d}", lat, lng, MANY_POLY_RADIUS, MANY_POLY_N))

@@ -1,0 +1,51 @@
+"""Distributed polygon-index TABLE path (S2ShapeIndex as rows) must agree
+exactly with the driver-object broadcast path — same candidates, same
+boundary parity decisions — and its plan must contain no driver geometry."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from conftest import SF_DIR
+
+from s2geometry_d_spark.operators.poly_index import (
+    build_polygon_index,
+    points_in_polygons_table,
+    polygons_dataframe,
+)
+from s2geometry_d_spark.operators.spatial_join import points_in_regions
+from s2geometry_d_spark.plans import demo
+from s2geometry_d_spark.sources import tables
+
+
+def test_table_path_matches_driver_object_path(spark):
+    regions = demo.many_poly_regions()[:120]
+    pts = tables.spatial_points(spark, SF_DIR)
+    want = {
+        (r["region_id"], r["point_id"])
+        for r in points_in_regions(pts, regions).select("region_id", "point_id").collect()
+    }
+    idx = build_polygon_index(polygons_dataframe(spark, regions)).persist()
+    jl = int(idx.agg(F.min("cov_level")).collect()[0][0])
+    got = {
+        (r["poly_id"], r["point_id"])
+        for r in points_in_polygons_table(pts, idx, join_level=jl)
+        .select("poly_id", "point_id")
+        .collect()
+    }
+    idx.unpersist()
+    assert got == want
+    assert len(want) > 0
+
+
+def test_index_rows_have_payload_only_on_boundary(spark):
+    regions = demo.many_poly_regions()[:10]
+    idx = build_polygon_index(polygons_dataframe(spark, regions))
+    rows = idx.collect()
+    assert any(r["is_interior"] for r in rows)
+    for r in rows:
+        if r["is_interior"]:
+            assert r["ea"] is None
+        else:
+            assert r["ea"] is not None and len(r["ea"]) >= 1
+            assert len(r["ea"]) == len(r["eb"])
