@@ -49,3 +49,24 @@ def test_index_rows_have_payload_only_on_boundary(spark):
         else:
             assert r["ea"] is not None and len(r["ea"]) >= 1
             assert len(r["ea"]) == len(r["eb"])
+
+
+def test_index_table_round_trips_through_parquet(spark, tmp_path):
+    """The index is a persistable artifact: write parquet, read back, run
+    the join — identical results (the build-once-reuse-everywhere model
+    with the index as DATA, not driver state)."""
+    regions = demo.many_poly_regions()[:60]
+    path = str(tmp_path / "polyindex")
+    build_polygon_index(polygons_dataframe(spark, regions)).write.parquet(path)
+    idx = spark.read.parquet(path)
+    jl = int(idx.agg(F.min("cov_level")).collect()[0][0])
+    pts = tables.spatial_points(spark, SF_DIR)
+    got = {
+        (r["poly_id"], r["point_id"])
+        for r in points_in_polygons_table(pts, idx, join_level=jl).collect()
+    }
+    want = {
+        (r["region_id"], r["point_id"])
+        for r in points_in_regions(pts, regions).select("region_id", "point_id").collect()
+    }
+    assert got == want
