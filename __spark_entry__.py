@@ -243,6 +243,29 @@ def _q_nearest_polyline(spark, sf_dir):
     )
 
 
+_PL_WITHIN_DEG = 2.0
+
+
+def _q_polyline_within_distance(spark, sf_dir):
+    """Polylines within a distance limit of each query (nearest_polyline
+    with max_distance — the within-distance special case of the options
+    parity; partial answers are complete answers)."""
+    from s2geometry_d_spark.operators.polyline_join import nearest_polyline_join
+
+    pe = _polyline_edges(spark, sf_dir)
+    res = nearest_polyline_join(
+        pe,
+        demo.knn_queries(),
+        k=5,
+        n_polylines_hint=1000,
+        registered_df=_polyline_edges_registered(spark, sf_dir),
+        max_distance_deg=_PL_WITHIN_DEG,
+    )
+    return res.select(
+        "query_id", "rank", "polyline_id", F.round("dist2", 9).alias("dist2")
+    )
+
+
 def _q_knn_edges_maxdist(spark, sf_dir):
     """Closest-edge kNN with a max_distance option (reference options
     parity, s2closest_edge_query.d:199-272): fewer than k results at the
@@ -689,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_edge_targets": _q_knn_edge_targets,
         "furthest_join": _q_furthest,
         "nearest_polyline_join": _q_nearest_polyline,
+        "polyline_within_distance": _q_polyline_within_distance,
         "crossing_edges_join": _q_crossing_edges,
         "polygon_overlay": _q_polygon_overlay_op("intersection"),
         "clip_polylines": _q_clip_polylines,
@@ -882,8 +906,17 @@ SELECT query_id, rank, point_id FROM (
 """
 
 
-def _nearest_polyline_sql() -> str:
+def _nearest_polyline_sql(k: int = 3, max_dist_deg: float | None = None) -> str:
+    import math as _math
+
     from s2geometry_d_spark.functions import edgedist
+    from s2geometry_d_spark.s2core.regions import chord2_from_radians
+
+    dist_filter = (
+        ""
+        if max_dist_deg is None
+        else f" WHERE dist2 <= {chord2_from_radians(_math.radians(max_dist_deg))!r}"
+    )
 
     a_cols = ",\n       ".join(edgedist.xyz_exprs("alat", "alng", "a"))
     b_cols = ",\n       ".join(edgedist.xyz_exprs("blat", "blng", "b"))
@@ -915,8 +948,8 @@ agg AS (
 SELECT query_id, rank, polyline_id, round(dist2, 9) AS dist2 FROM (
   SELECT query_id, polyline_id, dist2,
          row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, polyline_id ASC) AS rank
-  FROM agg
-) WHERE rank <= 3
+  FROM agg{dist_filter}
+) WHERE rank <= {k}
 """
 
 
@@ -1572,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_edge_targets": _knn_edge_targets_sql(),
         "furthest_join": _furthest_sql(),
         "nearest_polyline_join": _nearest_polyline_sql(),
+        "polyline_within_distance": _nearest_polyline_sql(k=5, max_dist_deg=_PL_WITHIN_DEG),
         "crossing_edges_join": _crossing_edges_sql(),
         "polygon_overlay": demo.overlay_sql("intersection"),
         "polygon_overlay_union": demo.overlay_sql("union"),

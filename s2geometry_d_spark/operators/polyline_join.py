@@ -42,21 +42,29 @@ def nearest_polyline_join(
     max_rounds: int = 6,
     n_polylines_hint: int | None = None,
     registered_df: DataFrame | None = None,
+    max_distance_deg: float | None = None,
 ) -> DataFrame:
     """k nearest POLYLINES to each query point.
 
     ``edges_df``: (polyline_id, edge_id, alat, alng, blat, blng) — one row
     per polyline edge.  Returns (query_id, rank, polyline_id, dist2) with
     rank 1..k by (min edge dist2, polyline_id).
+
+    ``max_distance_deg`` bounds results to that distance (the reference's
+    options parity, as in knn_edges_join): fewer than k polylines at the
+    limit is a complete answer; within-distance-of-any-polyline is the
+    k=inf special case.
     """
     from ..functions import edgedist
 
     spark = edges_df.sparkSession
 
+    max_r = 170.0 if max_distance_deg is None else min(max_distance_deg, 170.0)
     if initial_radius_deg is None:
         n = n_polylines_hint or 1_000
         frac = min(1.0, 4.0 * k / max(n, 1))
         initial_radius_deg = max(0.5, math.degrees(2.0 * math.asin(math.sqrt(frac))))
+    initial_radius_deg = min(initial_radius_deg, max_r)
 
     registered = registered_df if registered_df is not None else register_edges(edges_df)
 
@@ -87,7 +95,7 @@ def nearest_polyline_join(
         if not pending:
             break
         regions = [
-            (qid, Cap.from_latlng_radius(lat, lng, min(radius[qid], 170.0)))
+            (qid, Cap.from_latlng_radius(lat, lng, min(radius[qid], max_r)))
             for qid, (lat, lng) in pending.items()
         ]
         coverings = compute_coverings(regions, max_cells=24)
@@ -98,7 +106,7 @@ def nearest_polyline_join(
             ["query_id", edge_id_col]
         )
         qrows = [
-            (qid, *_xyz(lat, lng), chord2_from_radians(math.radians(min(radius[qid], 170.0))))
+            (qid, *_xyz(lat, lng), chord2_from_radians(math.radians(min(radius[qid], max_r))))
             for qid, (lat, lng) in pending.items()
         ]
         qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz", "r2"])
@@ -115,9 +123,15 @@ def nearest_polyline_join(
             if len(got) >= k:
                 done_rows.extend(got)
                 del pending[qid]
-            elif radius[qid] >= 170.0:
-                # clamped and short of k (antipodal residue): brute-force
-                brute[qid] = pending.pop(qid)
+            elif radius[qid] >= max_r:
+                if max_distance_deg is not None:
+                    # a distance limit makes <k results a complete answer
+                    done_rows.extend(got)
+                    del pending[qid]
+                else:
+                    # clamped at 170 deg and short of k (antipodal
+                    # residue): brute-force
+                    brute[qid] = pending.pop(qid)
             else:
                 radius[qid] = radius[qid] * 2.0
 
@@ -134,7 +148,13 @@ def nearest_polyline_join(
         cand = edges_df.crossJoin(
             F.broadcast(spark.createDataFrame([(q,) for q in pending], ["query_id"]))
         )
-        topk = _topk(_score(cand, qdf).drop("qx", "qy", "qz"))
+        scored = _score(cand, qdf)
+        if max_distance_deg is not None:
+            scored = scored.filter(
+                F.col("dist2")
+                <= F.lit(chord2_from_radians(math.radians(max_distance_deg)))
+            )
+        topk = _topk(scored.drop("qx", "qy", "qz"))
         results = topk if results is None else results.unionByName(topk)
 
     return results
