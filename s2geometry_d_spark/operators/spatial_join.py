@@ -216,11 +216,13 @@ def candidate_match_kernel(
     mapping = spark.createDataFrame(
         [(i, rid) for i, rid in enumerate(region_ids)], ["_ridx", "region_id"]
     )
+    # NOTE: no size-filter before the explode — explode already drops rows
+    # whose match array is empty, and a filter between the UDF and the
+    # explode makes Spark evaluate the Arrow kernel TWICE per fact row (it
+    # cannot deduplicate a Python UDF across the Filter barrier; round-3
+    # verdict finding #1).  test_plan_shapes asserts a single ArrowEvalPython.
     cand = (
-        points_df.withColumn("_m", match(F.col(cell_col)))
-        .filter(F.size("_m") > 0)
-        .withColumn("_code", F.explode("_m"))
-        .drop("_m")
+        points_df.withColumn("_code", F.explode(match(F.col(cell_col))))
         .withColumn("_ridx", (F.col("_code") / 2).cast("int"))
         .withColumn("is_interior", (F.col("_code") % 2) == 1)
         .drop("_code")

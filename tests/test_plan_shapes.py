@@ -55,6 +55,17 @@ def test_pip_join_does_not_shuffle_fact_table(spark, entrymod):
         raise AssertionError(f"fact-side shuffle in PIP plan: {line}\n{plan}")
 
 
+def test_pip_join_evaluates_match_kernel_once(spark, entrymod):
+    """Round-3 verdict finding #1: a size-filter between the covering-match
+    Arrow kernel and the explode made Spark evaluate the UDF TWICE per fact
+    row (no UDF dedup across the Filter barrier).  The plan must contain
+    exactly ONE evaluation of ``match`` — the explode alone drops the
+    empty-array rows."""
+    df = entrymod.queries()["pip_cap_join"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("match(") == 1, plan
+
+
 def test_pip_join_uses_broadcast_hash_join(spark, entrymod):
     df = entrymod.queries()["pip_cap_join"](spark, SF_DIR)
     plan = _plan(df)
