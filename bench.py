@@ -97,8 +97,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
 
-    # warm the JVM + Arrow path once (excluded from timings)
+    # warm the JVM + Arrow path AND the Python UDF workers once (excluded
+    # from timings).  token_count is pure SQL expressions — it never starts
+    # a Python worker, so without a pandas-UDF warmup the FIRST spatial
+    # query pays the full 32-worker import storm (~6s of fixed overhead
+    # that has nothing to do with the engine; measured round 4:
+    # points+cell-kernel 7.2s cold vs 0.8s warm at sf0.1).
     force(qs["token_count"](spark, SF_DIR))
+    force(qs["cell_roundtrip"](spark, SF_DIR))
 
     # min over 2 runs per query: the sandbox shows 10-30x scheduler noise on
     # identical jobs; min-of-N is the standard way to report the engine's

@@ -53,15 +53,30 @@ def knn_join(
     max_rounds: int = 6,
     n_points_hint: int | None = None,
     tie_col: str | None = None,
+    queries_xyz: dict | None = None,
 ) -> DataFrame:
     """Returns (query_id, rank, dist2, <point columns>) with rank 1..k.
 
     ``queries``: [(query_id, lat_deg, lng_deg)] — small (broadcast side).
     ``tie_col``: deterministic tie-break column for equal distances
     (defaults to the cell column).
+    ``queries_xyz``: optional {query_id: (x, y, z)} overriding the trig
+    lat/lng->xyz conversion for the exact distance computation — used by
+    furthest_points_join to query the exact floating-point negation of the
+    original point (the lat/lng stays the seed for the search-cap covering,
+    which is inflated by an epsilon to absorb the ulp-level center gap).
     """
     spark = points_df.sparkSession
     tie_col = tie_col or cell_col
+    queries_xyz = queries_xyz or {}
+
+    def q_xyz(qid, lat, lng):
+        return queries_xyz.get(qid) or _xyz(lat, lng)
+
+    # covering-cap inflation: only ever ADDS candidates (acceptance is the
+    # exact dist2 <= r2 filter), so completeness survives an xyz override
+    # whose true center is ulps away from the trig-derived cap center
+    cap_pad = 1e-7 if queries_xyz else 0.0
 
     if initial_radius_deg is None:
         # expected radius containing ~4k points under uniform density
@@ -79,7 +94,7 @@ def knn_join(
         if not pending:
             break
         regions = [
-            (qid, Cap.from_latlng_radius(lat, lng, min(radius[qid], 170.0)))
+            (qid, Cap.from_latlng_radius(lat, lng, min(radius[qid] + cap_pad, 170.0)))
             for qid, (lat, lng) in pending.items()
         ]
         coverings = compute_coverings(regions, max_cells=24)
@@ -87,7 +102,7 @@ def knn_join(
         cand = cand.withColumnRenamed("region_id", "query_id")
 
         qrows = [
-            (qid, *_xyz(lat, lng), chord2_from_radians(math.radians(min(radius[qid], 170.0))))
+            (qid, *q_xyz(qid, lat, lng), chord2_from_radians(math.radians(min(radius[qid], 170.0))))
             for qid, (lat, lng) in pending.items()
         ]
         qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz", "r2"])
@@ -135,7 +150,7 @@ def knn_join(
 
     if pending:
         # brute-force fallback for stragglers: tiny query set x all points
-        qrows = [(qid, *_xyz(lat, lng)) for qid, (lat, lng) in pending.items()]
+        qrows = [(qid, *q_xyz(qid, lat, lng)) for qid, (lat, lng) in pending.items()]
         qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz"])
         cand = points_df.crossJoin(F.broadcast(qdf))
         scored = cand.withColumn("dist2", _chord2_to_query_expr(lat_col, lng_col))
@@ -212,7 +227,12 @@ def register_edges(edges_df: DataFrame) -> DataFrame:
     This is the reusable index artifact (the reference's build-once model,
     s2closest_edge_query.d:119-131) — persisted so every consumer (closest-
     edge kNN rounds, crossing joins, polyline joins) probes the same built
-    table instead of re-running the registration kernel per action."""
+    table instead of re-running the registration kernel per action.
+
+    Ownership: the CALLER owns the returned persisted DataFrame and must
+    ``unpersist()`` it when done (long-lived sessions registering many edge
+    tables would otherwise pin storage forever); the bundled entry driver
+    does this via ``__spark_entry__.release_caches``."""
     reg_udf = edge_register_cells_udf()
     return (
         edges_df.withColumn(
@@ -563,6 +583,13 @@ def furthest_points_join(
     (furthest) squared chord, rank 1..k by (dist2 desc, tie asc).
     """
     anti = [(qid, -lat, lng + 180.0 if lng <= 0 else lng - 180.0) for qid, lat, lng in queries]
+    # exact antipode: negate the ORIGINAL point's xyz bit-for-bit rather than
+    # re-deriving (-lat, lng+-180) through trig — a trig round-trip shifts the
+    # query by ulps and can flip near-tie rankings vs the true-distance
+    # oracle (ADVICE round-3); the lat/lng above only seeds the search cap
+    anti_xyz = {
+        qid: tuple(-c for c in _xyz(lat, lng)) for qid, lat, lng in queries
+    }
     res = knn_join(
         points_df,
         anti,
@@ -572,6 +599,7 @@ def furthest_points_join(
         cell_col=cell_col,
         n_points_hint=n_points_hint,
         tie_col=tie_col,
+        queries_xyz=anti_xyz,
     )
     return res.withColumn("dist2", F.lit(4.0) - F.col("dist2"))
 

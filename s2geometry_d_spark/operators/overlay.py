@@ -164,6 +164,58 @@ def clip_polylines_to_polygon(
     return edges_df.groupBy(polyline_col).applyInPandas(run, out_schema)
 
 
+PAIR_SCHEMA_LOOPS = T.StructType(
+    [
+        T.StructField("pair_id", T.IntegerType(), False),
+        T.StructField(
+            "a_loops", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))), False
+        ),
+        T.StructField(
+            "b_loops", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))), False
+        ),
+    ]
+)
+
+
+def loop_pairs_dataframe(spark: SparkSession, pairs) -> DataFrame:
+    """pairs: [(pair_id, a_loops, b_loops)] with each side a LIST of loops
+    (shell first, CW holes after) — the multi-loop operand shape
+    (s2polygon.d:129+ nesting semantics)."""
+    rows = [
+        (
+            pid,
+            [[list(v) for v in loop] for loop in a_loops],
+            [[list(v) for v in loop] for loop in b_loops],
+        )
+        for pid, a_loops, b_loops in pairs
+    ]
+    return spark.createDataFrame(rows, PAIR_SCHEMA_LOOPS)
+
+
+def overlay_vertices_loops(pairs_df: DataFrame, op: str) -> DataFrame:
+    """Boolean overlay over MULTI-LOOP polygon pairs (shells + CW holes):
+    the interior-left classification and exact-successor stitching extend
+    unchanged to hole loops, so annulus ∩ disc, disc − annulus and
+    island-producing unions all run through the same walk
+    (s2boolean_operation.d:225-481 nesting cases)."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            a = Polygon(
+                [Loop([tuple(v) for v in loop]) for loop in row["a_loops"]], "a"
+            )
+            b = Polygon(
+                [Loop([tuple(v) for v in loop]) for loop in row["b_loops"]], "b"
+            )
+            for loop in overlay(a, b, op):
+                for v in loop:
+                    out.append((row["pair_id"], v[0], v[1], v[2]))
+        return pd.DataFrame(out, columns=["pair_id", "vx", "vy", "vz"])
+
+    return pairs_df.groupBy("pair_id").applyInPandas(run, OUT_SCHEMA)
+
+
 def overlay_vertices(pairs_df: DataFrame, op: str) -> DataFrame:
     """One row per result-loop vertex of op(A, B) per pair — the boundary
     computation the oracle verifies (vertex multiset; areas and loop

@@ -139,7 +139,7 @@ def _pip_from_row_payload(
 def points_in_polygons_table(
     points_df: DataFrame,
     index_df: DataFrame,
-    join_level: int,
+    join_level: int | None = None,
     lat_col: str = "lat",
     lng_col: str = "lng",
     cell_col: str = "cell_id",
@@ -147,7 +147,22 @@ def points_in_polygons_table(
     """PIP join against the index TABLE: prefix equi-join at ``join_level``
     (the coarsest covering level; compute once when building the index) +
     residual range containment, then interior pass-through / row-payload
-    parity.  Returns points columns + poly_id."""
+    parity.  Returns points columns + poly_id.
+
+    ``join_level`` defaults to the index's own min(cov_level) (one tiny
+    aggregate).  A caller-supplied value FINER than the coarsest covering
+    cell would silently drop that cell's candidates (no level-``join_level``
+    ancestor exists for a coarser cell), so it is validated, not trusted
+    (ADVICE round-3)."""
+    min_cov = index_df.agg(F.min("cov_level")).collect()[0][0]
+    if join_level is None:
+        join_level = int(min_cov)
+    elif join_level > min_cov:
+        raise ValueError(
+            f"join_level={join_level} is finer than the coarsest covering "
+            f"cell (level {min_cov}); candidates under that cell would be "
+            "silently dropped — pass a level <= min(cov_level) or omit it"
+        )
     keyed_idx = index_df.withColumn(
         "join_key", kernels.parent_signed(F.col("cell_signed"), join_level)
     ).withColumn("cov_lsb", F.col("cell_signed").bitwiseAND(-F.col("cell_signed")))

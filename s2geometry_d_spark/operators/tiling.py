@@ -146,13 +146,23 @@ def tile_cells(
             )
             radius = 2.0 * math.asin(min(1.0, 0.5 * math.sqrt(r2c)))
             lvl_cap = metrics.MIN_WIDTH.get_level_for_min_value(2.0 * radius) - 1
-            lvl_cap = max(0, min(29, lvl_cap))
-            cap_cells = [
-                int(c)
-                for c in ci.vertex_neighbors(
-                    ci.from_xyz(mx_, my_, mz_), np.array([lvl_cap])
-                ).reshape(-1)
-            ]
+            if lvl_cap < 0:
+                # cap wider than a face cell: 4 level-0 vertex neighbors are
+                # NOT a superset — fall back to all 6 face cells, matching
+                # the reference (s2cap.d:497-510 GetCellUnionBound)
+                faces = np.arange(6, dtype=np.int64)
+                mid = np.full(6, 1 << 29, dtype=np.int64)
+                cap_cells = [
+                    int(c) for c in ci.parent(ci.from_face_ij(faces, mid, mid), 0)
+                ]
+            else:
+                lvl_cap = min(29, lvl_cap)
+                cap_cells = [
+                    int(c)
+                    for c in ci.vertex_neighbors(
+                        ci.from_xyz(mx_, my_, mz_), np.array([lvl_cap])
+                    ).reshape(-1)
+                ]
             row_lvl = int(lvl[r])
             while True:
                 s = np.int64(1) << (30 - row_lvl)

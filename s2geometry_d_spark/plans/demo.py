@@ -309,6 +309,177 @@ SELECT pair_id, round(x, 6) AS vx, round(y, 6) AS vy, round(z, 6) AS vz FROM all
 """
 
 
+# -- polygon-overlay WITH HOLES fixture ------------------------------------
+# Annulus (convex shell + convex CW hole) vs disc pairs across the distinct
+# topological configurations: disc straddling the shell only, straddling
+# shell AND hole, disc fully inside the ring, disc fully inside the hole
+# (empty intersection), and disc containing the whole annulus (multi-loop
+# result).  Convex loops keep the DuckDB oracle closed-form — hole-loop
+# containment uses the REVERSED det sign (max over CW hole edges) while the
+# engine runs the interior-left parity walk: two independent derivations.
+# Reference semantics: s2polygon.d:129+ loop-depth nesting over
+# s2boolean_operation.d:225-481.
+HOLES_N_OUT = 10
+HOLES_N_HOLE = 7
+HOLES_N_DISC = 9
+
+
+def overlay_holes_pair_specs():
+    """[(pair_id, annulus_spec, disc_spec)] with
+    annulus_spec = (outer(lat,lng,r), hole(lat,lng,r)), disc = (lat,lng,r).
+    Latitude offsets keep center distances exactly angular."""
+    return [
+        # disc straddles the outer shell only
+        (0, ((0.0, 20.0, 8.0), (0.3, 20.2, 3.0)), (7.5, 20.1, 4.0)),
+        # disc straddles shell AND hole
+        (1, ((0.0, 50.0, 8.0), (-0.1, 50.3, 3.5)), (5.0, 50.0, 4.0)),
+        # disc fully inside the ring (no crossings; A∩B = disc)
+        (2, ((0.0, 80.0, 8.0), (0.3, 80.2, 3.0)), (5.5, 80.0, 1.2)),
+        # disc fully inside the hole (A∩B = empty)
+        (3, ((0.0, 110.0, 8.0), (0.3, 110.2, 3.0)), (0.5, 110.2, 1.0)),
+        # disc contains the whole annulus (A∩B = annulus, 2 result loops)
+        (4, ((0.0, 140.0, 8.0), (0.3, 140.2, 3.0)), (0.0, 140.1, 12.0)),
+        # second straddle-both at a different latitude/size for variety
+        (5, ((-25.0, -60.0, 7.0), (-25.2, -59.8, 3.2)), (-20.5, -60.0, 3.8)),
+    ]
+
+
+def _annulus_loops(outer, hole):
+    """[outer CCW vertices, hole CW vertices] (interior-left)."""
+    out = Loop.make_regular(outer[0], outer[1], outer[2], HOLES_N_OUT).vertices
+    h = Loop.make_regular(hole[0], hole[1], hole[2], HOLES_N_HOLE).vertices
+    return [out, list(reversed(h))]
+
+
+def overlay_holes_pairs(flip: bool = False):
+    """[(pair_id, a_loops, b_loops)] as xyz vertex lists per loop; loop 0 is
+    the shell, loop 1 (when present) the CW hole.  ``flip=True`` swaps the
+    sides (disc first) — the fixture for disc − annulus."""
+    out = []
+    for k, ann, disc in overlay_holes_pair_specs():
+        a_loops = _annulus_loops(*ann)
+        b_loops = [Loop.make_regular(disc[0], disc[1], disc[2], HOLES_N_DISC).vertices]
+        out.append((k, b_loops, a_loops) if flip else (k, a_loops, b_loops))
+    return out
+
+
+def overlay_holes_sql(op: str, flip: bool = False) -> str:
+    """Vertex multiset of op(A, B) for the holes fixture, derived
+    independently of the engine walk.  Containment in a convex-shell +
+    convex-CW-hole region: min(shell-edge det) > 0 AND max(hole-edge det)
+    > 0 (the hole's CW orientation flips the sign test); crossings use the
+    same closed-form expression order as the clean-pair oracle."""
+    cmp_pairs = {
+        "intersection": (True, True),   # keep A-verts inside B, B-verts inside A
+        "union": (False, False),
+        "difference": (False, True),    # A-verts outside B, B-verts inside A
+    }
+    want_a_inside, want_b_inside = cmp_pairs[op]
+
+    def lit(x: float) -> str:
+        return format(x, ".17e")
+
+    pairs = overlay_holes_pairs(flip=flip)
+    av_rows, bv_rows = [], []
+    for k, a_loops, b_loops in pairs:
+        for l, vs in enumerate(a_loops):
+            for j, v in enumerate(vs):
+                av_rows.append(
+                    f"({k}, {l}, {j}, {len(vs)}, {lit(v[0])}, {lit(v[1])}, {lit(v[2])})"
+                )
+        for l, vs in enumerate(b_loops):
+            for j, v in enumerate(vs):
+                bv_rows.append(
+                    f"({k}, {l}, {j}, {len(vs)}, {lit(v[0])}, {lit(v[1])}, {lit(v[2])})"
+                )
+
+    def keep_having(det: str, inside: bool) -> str:
+        shell = f"min(CASE WHEN e.l = 0 THEN {det} END)"
+        hole = f"max(CASE WHEN e.l = 1 THEN {det} END)"
+        if inside:
+            return f"{shell} > 0 AND coalesce({hole} > 0, TRUE)"
+        return f"{shell} < 0 OR coalesce({hole} < 0, FALSE)"
+
+    det_b = "(e.cy*e.dz - e.cz*e.dy)*v.x + (e.cz*e.dx - e.cx*e.dz)*v.y + (e.cx*e.dy - e.cy*e.dx)*v.z"
+    det_a = "(e.ay*e.bz - e.az*e.by)*v.x + (e.az*e.bx - e.ax*e.bz)*v.y + (e.ax*e.by - e.ay*e.bx)*v.z"
+
+    return f"""
+WITH av(pair_id, l, j, n, x, y, z) AS (VALUES {", ".join(av_rows)}),
+bv(pair_id, l, j, n, x, y, z) AS (VALUES {", ".join(bv_rows)}),
+ae AS (
+  SELECT p.pair_id, p.l, p.j, p.x AS ax, p.y AS ay, p.z AS az,
+         q.x AS bx, q.y AS by, q.z AS bz
+  FROM av p JOIN av q
+    ON q.pair_id = p.pair_id AND q.l = p.l AND q.j = (p.j + 1) % p.n
+),
+be AS (
+  SELECT p.pair_id, p.l, p.j, p.x AS cx, p.y AS cy, p.z AS cz,
+         q.x AS dx, q.y AS dy, q.z AS dz
+  FROM bv p JOIN bv q
+    ON q.pair_id = p.pair_id AND q.l = p.l AND q.j = (p.j + 1) % p.n
+),
+a_keep AS (
+  SELECT v.pair_id, v.x, v.y, v.z
+  FROM av v JOIN be e ON e.pair_id = v.pair_id
+  GROUP BY v.pair_id, v.l, v.j, v.x, v.y, v.z
+  HAVING {keep_having(det_b, want_a_inside)}
+),
+b_keep AS (
+  SELECT v.pair_id, v.x, v.y, v.z
+  FROM bv v JOIN ae e ON e.pair_id = v.pair_id
+  GROUP BY v.pair_id, v.l, v.j, v.x, v.y, v.z
+  HAVING {keep_having(det_a, want_b_inside)}
+),
+epairs AS (
+  SELECT ae.pair_id,
+         ae.ax, ae.ay, ae.az, ae.bx, ae.by, ae.bz,
+         be.cx, be.cy, be.cz, be.dx, be.dy, be.dz,
+         ae.ay*ae.bz - ae.az*ae.by AS n1x,
+         ae.az*ae.bx - ae.ax*ae.bz AS n1y,
+         ae.ax*ae.by - ae.ay*ae.bx AS n1z,
+         be.cy*be.dz - be.cz*be.dy AS n2x,
+         be.cz*be.dx - be.cx*be.dz AS n2y,
+         be.cx*be.dy - be.cy*be.dx AS n2z
+  FROM ae JOIN be ON be.pair_id = ae.pair_id
+),
+crossing AS (
+  SELECT *,
+         n1x*cx + n1y*cy + n1z*cz AS d1,
+         n1x*dx + n1y*dy + n1z*dz AS d2,
+         n2x*ax + n2y*ay + n2z*az AS d3,
+         n2x*bx + n2y*by + n2z*bz AS d4
+  FROM epairs
+),
+xpt AS (
+  SELECT pair_id,
+         n1y*n2z - n1z*n2y AS xx,
+         n1z*n2x - n1x*n2z AS xy,
+         n1x*n2y - n1y*n2x AS xz,
+         ax, ay, az, bx, by, bz
+  FROM crossing
+  WHERE d1*d2 < 0 AND d1*d3 < 0 AND d1*d4 > 0
+),
+xsigned AS (
+  SELECT pair_id,
+         CASE WHEN xx*(ax+bx) + xy*(ay+by) + xz*(az+bz) < 0 THEN -xx ELSE xx END AS sx,
+         CASE WHEN xx*(ax+bx) + xy*(ay+by) + xz*(az+bz) < 0 THEN -xy ELSE xy END AS sy,
+         CASE WHEN xx*(ax+bx) + xy*(ay+by) + xz*(az+bz) < 0 THEN -xz ELSE xz END AS sz
+  FROM xpt
+),
+allv AS (
+  SELECT pair_id, x, y, z FROM a_keep
+  UNION ALL
+  SELECT pair_id, x, y, z FROM b_keep
+  UNION ALL
+  SELECT pair_id, sx / sqrt(sx*sx + sy*sy + sz*sz),
+         sy / sqrt(sx*sx + sy*sy + sz*sz),
+         sz / sqrt(sx*sx + sy*sy + sz*sz)
+  FROM xsigned
+)
+SELECT pair_id, round(x, 6) AS vx, round(y, 6) AS vy, round(z, 6) AS vz FROM allv
+"""
+
+
 # -- many-polygon PIP fixture ----------------------------------------------
 # 1000 hash-placed convex hexagons: the many-region covering join at 100x
 # the demo-region cardinality (north-rule broadcast-vs-SMJ evidence), with

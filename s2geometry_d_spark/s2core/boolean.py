@@ -21,11 +21,16 @@ implements:
    objects between both chains, so start-point lookup is exact float
    equality, no snapping needed.
 
-Inputs must be clean polygons with interior-on-the-left orientation
-(shells CCW, holes CW) and edges shorter than 180 deg.  Shared-vertex /
-tangency cases are out of generic position; S2ContainsVertexQuery
-(s2contains_vertex_query.d) is provided for the shared-vertex containment
-decisions and is exercised by its own tests.
+Inputs are polygons with interior-on-the-left orientation (shells CCW,
+holes CW) and edges shorter than 180 deg.  MULTI-LOOP polygons (shell +
+hole nesting, s2polygon.d:129+ depth semantics) are fully supported: the
+interior-left classification (ILRegion parity over the complete edge set)
+and the exact-successor stitching are loop-structure-agnostic, so annulus
+operands, island-producing differences and multi-loop results all run
+through the same walk (oracled via polygon_overlay_holes{,_diff,_union}).
+Shared-vertex / tangency cases are out of generic position;
+S2ContainsVertexQuery (s2contains_vertex_query.d) is provided for the
+shared-vertex containment decisions and is exercised by its own tests.
 """
 
 from __future__ import annotations

@@ -88,12 +88,21 @@ def edge_rect_bound(a, b) -> LatLngRect:
     m = (n[1], -n[0], 0.0)  # n x z
     m_a = m[0] * a[0] + m[1] * a[1]
     m_b = m[0] * b[0] + m[1] * b[1]
-    if m_a * m_b < 0.0:
-        # one interior latitude extremum; dz/dt at a is -(m . a)
-        max_abs = math.atan2(math.hypot(n[0], n[1]), abs(n[2]))
-        if m_a < 0.0:
+    # Error-bound handling mirroring the reference bounder
+    # (s2latlngrect_bounder semantics): when an interior extremum exists OR
+    # m_a / m_b are within rounding error of zero (extremum within ulps of a
+    # vertex), expand the corresponding side by a few ulps so the rect stays
+    # a true superset — downstream cap/covering completeness relies on it.
+    _DBL_EPS = 2.220446049250313e-16
+    m_error = 1e-15 * math.hypot(m[0], m[1])
+    if m_a * m_b < 0.0 or abs(m_a) <= m_error or abs(m_b) <= m_error:
+        max_abs = min(
+            math.atan2(math.hypot(n[0], n[1]), abs(n[2])) + 3.0 * _DBL_EPS,
+            math.pi / 2,
+        )
+        if m_a <= m_error and m_b >= -m_error:
             lat_hi = max(lat_hi, max_abs)
-        else:
+        if m_b <= m_error and m_a >= -m_error:
             lat_lo = min(lat_lo, -max_abs)
         if max_abs >= math.pi / 2 - _POLE_EPS:
             # the arc grazes a pole: every longitude is reachable

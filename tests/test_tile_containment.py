@@ -49,6 +49,33 @@ def test_adversarial_footprints_fully_covered(spark, adversarial_images):
     }
 
 
+HUGE = [
+    # tile extents of 45-90 deg: the bounding-cap radius exceeds a face
+    # width, so the 4 level-0 vertex neighbors are NOT a superset and the
+    # backstop must fall back to all 6 face cells (s2cap.d:497-510)
+    ("t_huge_hemisphere", 10.0, 20.0, 300.0),
+    ("t_huge_polarwrap", 60.0, -170.0, 220.0),
+    ("t_huge_equator", 0.0, 0.0, 359.0),
+]
+
+
+def test_huge_extent_footprints_fully_covered(spark):
+    """ADVICE round-3 (medium): lvl_cap < 0 used to clamp to level 0, whose
+    4 vertex neighbors silently under-cover caps wider than a face."""
+    imgs = spark.createDataFrame(HUGE, ["image_id", "lat", "lng", "extent_deg"])
+    chk = tiling.tile_containment_check(
+        imgs,
+        known_extents=sorted({r[3] for r in HUGE}),
+        probes_per_axis=17,
+    )
+    rows = chk.collect()
+    assert len(rows) == len(HUGE) * tiling.GRID * tiling.GRID
+    missed = {(r["image_id"], r["tile_x"], r["tile_y"]): r["n_missed"] for r in rows}
+    assert all(v == 0 for v in missed.values()), {
+        k: v for k, v in missed.items() if v
+    }
+
+
 def test_assignment_levels_do_not_exceed_requested(spark, adversarial_images):
     """The kernel may COARSEN (never refine) when the padded bbox exceeds
     the fixed-width output; emitted cells must therefore sit at or above
