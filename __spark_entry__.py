@@ -304,6 +304,27 @@ def _q_knn_edges_maxdist(spark, sf_dir):
     return res.select("query_id", "rank", "edge_id")
 
 
+def _q_knn_edges_maxerror(spark, sf_dir):
+    """Closest-edge kNN with the max_error early-exit option
+    (s2closest_edge_query.d:199-272 setMaxError).  The chosen max_error
+    (0.02 deg) is far below the fixture's kth/(k+1)th distance gaps, so the
+    approximate result provably COINCIDES with the exact top-k — which is
+    what lets the exact SQL oracle verify the option end-to-end (the
+    brute-force tolerance flip in tests/test_knn_options.py covers the
+    genuinely-approximate regime)."""
+    e = _edges(spark, sf_dir)
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count() - 1
+    res = knn.knn_edges_join(
+        e,
+        demo.knn_queries(),
+        k=5,
+        n_edges_hint=n,
+        max_error_deg=0.02,
+        registered_df=_edges_registered(spark, sf_dir),
+    )
+    return res.select("query_id", "rank", "edge_id")
+
+
 def _q_furthest(spark, sf_dir):
     """k furthest points per query (max-distance family) via the exact
     antipodal reduction chord2(p,q) = 4 - chord2(p,-q)."""
@@ -655,6 +676,24 @@ def _q_tile_assignment(spark, sf_dir):
     )
 
 
+def _q_tile_assignment_stats(spark, sf_dir):
+    """Tightness counterpart of tile_containment_check (which proves only
+    completeness): per-tile cell count and covered-area/tile-area ratio,
+    mirroring the reference's published covering-ratio discipline
+    (s2region_coverer.d:102-106).  Pinned by a pytest bound; quiet
+    over-assignment regressions become visible here."""
+    imgs = synth_images(spark, sf_dir)
+    extents = [0.5 + k / 10.0 for k in range(10)]
+    stats = tiling.tile_assignment_stats(imgs, known_extents=extents)
+    return stats.select(
+        "image_id",
+        "tile_x",
+        "tile_y",
+        "n_cells",
+        F.round("area_ratio", 4).alias("area_ratio"),
+    )
+
+
 def _q_tile_containment(spark, sf_dir):
     """Independent semantic oracle for the tile assignment (checkCovering
     discipline, s2testing.d:424-449): a 9x9 probe lattice per tile —
@@ -755,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn,
         "knn_edges_join": _q_knn_edges,
         "knn_edges_maxdist": _q_knn_edges_maxdist,
+        "knn_edges_maxerror": _q_knn_edges_maxerror,
         "knn_edge_targets": _q_knn_edge_targets,
         "furthest_join": _q_furthest,
         "nearest_polyline_join": _q_nearest_polyline,
@@ -781,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_partition_stats": _q_cell_partition_stats,
         "cell_area_stats": _q_cell_area_stats,
         "tile_assignment": _q_tile_assignment,
+        "tile_assignment_stats": _q_tile_assignment_stats,
         "tile_containment_check": _q_tile_containment,
         "image_verify": _q_image_verify,
         "image_features": _q_image_features,
@@ -1651,6 +1692,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _knn_sql(),
         "knn_edges_join": _knn_edges_sql(),
         "knn_edges_maxdist": _knn_edges_maxdist_sql(),
+        "knn_edges_maxerror": _knn_edges_sql(),
         "knn_edge_targets": _knn_edge_targets_sql(),
         "furthest_join": _furthest_sql(),
         "nearest_polyline_join": _nearest_polyline_sql(),

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import kernels
 from ..s2core.regions import Cap, chord2_from_radians
 from .spatial_join import candidate_match_kernel, compute_coverings
 
@@ -253,6 +254,7 @@ def knn_edges_join(
     max_rounds: int = 6,
     n_edges_hint: int | None = None,
     max_distance_deg: float | None = None,
+    max_error_deg: float = 0.0,
     registered_df: DataFrame | None = None,
 ) -> DataFrame:
     """Closest-EDGE kNN: the k nearest edges to each query point — the
@@ -274,6 +276,12 @@ def knn_edges_join(
     ``max_distance_deg`` bounds results to that distance (within-distance
     becomes the special case k=inf); with it set, fewer than k results at
     the limit is a COMPLETE answer, not a fallback trigger.
+    ``max_error_deg`` (s2closest_edge_query.d:199-272 setMaxError): accept
+    the candidate top-k as soon as its k-th distance is within ``max_error``
+    of the ring radius — every edge the ring has NOT yet seen is farther
+    than radius >= kth − max_error, so no reported result can be beaten by
+    more than max_error.  Early ring exits in exchange for approximate
+    ranks; 0.0 (default) keeps exact semantics.
     ``registered_df`` lets callers share one registered-cell table across
     queries (the reference's build-once index model).
 
@@ -323,8 +331,18 @@ def knn_edges_join(
             ["query_id", edge_id_col]
         )
 
+        # acceptance radius widened by max_error (never past the distance
+        # limit): candidates are only COMPLETE within radius, but anything
+        # unseen is farther than radius >= accepted kth − max_error, which
+        # is exactly the approximation contract
         qrows = [
-            (qid, *_xyz(lat, lng), chord2_from_radians(math.radians(min(radius[qid], max_r))))
+            (
+                qid,
+                *_xyz(lat, lng),
+                chord2_from_radians(
+                    math.radians(min(radius[qid] + max_error_deg, max_r))
+                ),
+            )
             for qid, (lat, lng) in pending.items()
         ]
         qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz", "r2"])
@@ -432,6 +450,48 @@ def knn_edges_join_with_interiors(
         res = res.drop("rank")
     # interior hits sort first (dist2 0, shape_id set); among equals the
     # shape order, then edges by (dist2, edge_id)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(),
+        F.col("shape_id").asc_nulls_last(),
+        F.col(kwargs.get("edge_id_col", "edge_id")).asc_nulls_last(),
+    )
+    return res.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_edges_join_with_interiors_table(
+    edges_df: DataFrame,
+    queries: list[tuple[str, float, float]],
+    k: int,
+    index_df: DataFrame,
+    join_level: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """include_interiors against a polygon INDEX TABLE (poly_index rows):
+    the at-scale variant of :func:`knn_edges_join_with_interiors` — interior
+    zero-distance hits come from running the (tiny) query-point table
+    through ``points_in_polygons_table``, so a million-region dimension side
+    needs NO driver-held polygon objects anywhere
+    (s2closest_edge_query_base.d:376-388 semantics; round-3 ADVICE #4).
+
+    Same result contract as the driver-object variant: (query_id, rank,
+    dist2, shape_id, <edge cols>), interior hits first with dist2=0.
+    """
+    from .poly_index import points_in_polygons_table
+
+    spark = edges_df.sparkSession
+    qdf = spark.createDataFrame(queries, ["query_id", "lat", "lng"]).withColumn(
+        "cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng"))
+    )
+    zero = (
+        points_in_polygons_table(qdf, index_df, join_level=join_level)
+        .select("query_id", F.col("poly_id").alias("shape_id"))
+        .withColumn("dist2", F.lit(0.0))
+    )
+
+    res = knn_edges_join(edges_df, queries, k, **kwargs).withColumn(
+        "shape_id", F.lit(None).cast("string")
+    )
+    res = res.drop("rank").unionByName(zero, allowMissingColumns=True)
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist2").asc(),
         F.col("shape_id").asc_nulls_last(),

@@ -126,11 +126,17 @@ def _pip_from_row_payload(
     ).groupby(["p", "a", "b", "c"], sort=False).indices
     for g in groups.values():
         i0 = int(g[0])
-        edges = [
-            (tuple(a), tuple(b)) for a, b in zip(ea.iloc[i0], eb.iloc[i0])
-        ]
-        counts = pred.crossings_with_fixed_edges(
-            float(cx[i0]), float(cy[i0]), float(cz[i0]), x[g], y[g], z[g], edges
+        # row payload lists -> (m, 3) arrays, straight into the vectorized
+        # kernel (no tuple rebuild; round-3 finding #3)
+        counts = pred.crossings_with_edge_arrays(
+            float(cx[i0]),
+            float(cy[i0]),
+            float(cz[i0]),
+            x[g],
+            y[g],
+            z[g],
+            np.array(list(ea.iloc[i0]), dtype=np.float64).reshape(-1, 3),
+            np.array(list(eb.iloc[i0]), dtype=np.float64).reshape(-1, 3),
         )
         out[g] = ((counts & 1).astype(bool)) ^ bool(cb[i0])
     return pd.Series(out)
@@ -165,9 +171,27 @@ def points_in_polygons_table(
         )
     keyed_idx = index_df.withColumn(
         "join_key", kernels.parent_signed(F.col("cell_signed"), join_level)
-    ).withColumn("cov_lsb", F.col("cell_signed").bitwiseAND(-F.col("cell_signed")))
+    )
     keyed_pts = points_df.withColumn(
         "join_key", kernels.parent_signed(F.col(cell_col), join_level)
+    )
+    return _join_and_accept(
+        keyed_pts, keyed_idx, points_df.columns, lat_col, lng_col, cell_col
+    )
+
+
+def _join_and_accept(
+    keyed_pts: DataFrame,
+    keyed_idx: DataFrame,
+    out_cols: list[str],
+    lat_col: str,
+    lng_col: str,
+    cell_col: str,
+) -> DataFrame:
+    """Shared tail of the index-table PIP: equi-join on join_key, native
+    residual range containment, interior pass-through / row-payload parity."""
+    keyed_idx = keyed_idx.withColumn(
+        "cov_lsb", F.col("cell_signed").bitwiseAND(-F.col("cell_signed"))
     )
     joined = keyed_pts.join(keyed_idx, "join_key", "inner")
     residual = (
@@ -188,4 +212,50 @@ def points_in_polygons_table(
             F.coalesce(F.col("eb"), F.array().cast("array<array<double>>")),
         )
     )
-    return cand.filter(accept).select(*points_df.columns, "poly_id")
+    return cand.filter(accept).select(*out_cols, "poly_id")
+
+
+def write_bucketed_index(
+    index_df: DataFrame,
+    table_name: str,
+    join_level: int | None = None,
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> int:
+    """Persist the index TABLE bucketed+sorted by its level-L prefix key —
+    the Iceberg sort-order story SURVEY §2.7 promises: a consumer bucketed
+    the same way joins with NO exchange on either side (asserted by
+    tests/test_plan_shapes.py).  Returns the join_level baked into the
+    stored ``join_key`` column."""
+    if join_level is None:
+        join_level = int(index_df.agg(F.min("cov_level")).collect()[0][0])
+    keyed = index_df.withColumn(
+        "join_key", kernels.parent_signed(F.col("cell_signed"), join_level)
+    )
+    w = (
+        keyed.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, "join_key")
+        .sortBy("join_key")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+    return join_level
+
+
+def points_in_polygons_bucketed(
+    pts_table: DataFrame,
+    idx_table: DataFrame,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Index-table PIP over PRE-BUCKETED tables: both inputs must already
+    carry the stored ``join_key`` column (written via write_bucketed_index /
+    the same bucketBy spec on the point side).  Because the key is a stored
+    column of two co-bucketed tables, the join compiles to a bucket-local
+    sort-merge with NO Exchange on either side — the shape that matters at
+    100 TB, where the fact-table shuffle IS the cost."""
+    out_cols = [c for c in pts_table.columns if c != "join_key"]
+    return _join_and_accept(pts_table, idx_table, out_cols, lat_col, lng_col, cell_col)

@@ -363,11 +363,10 @@ def _polygon_pip_udf(indexes: dict[str, PolygonCellIndex], vertex_model: str = "
                 for o in np.unique(found[found >= 0]):
                     g = found == o
                     center, c_bit, ea, eb = records[int(o)]
-                    edge_list = [
-                        (tuple(ea[e]), tuple(eb[e])) for e in range(ea.shape[0])
-                    ]
-                    counts = pred.crossings_with_fixed_edges(
-                        center[0], center[1], center[2], x[g], y[g], z[g], edge_list
+                    # stored numpy arrays flow straight into the vectorized
+                    # kernel — no per-batch tuple rebuild (round-3 finding #3)
+                    counts = pred.crossings_with_edge_arrays(
+                        center[0], center[1], center[2], x[g], y[g], z[g], ea, eb
                     )
                     r = ((counts & 1).astype(bool)) ^ c_bit
                     if vertex_model != "semi_open":
@@ -375,7 +374,7 @@ def _polygon_pip_udf(indexes: dict[str, PolygonCellIndex], vertex_model: str = "
                         # endpoint of one of its clipped edges
                         from ..s2core.loops import _apply_vertex_model
 
-                        verts = {v for e in edge_list for v in e}
+                        verts = {tuple(v) for arr in (ea, eb) for v in arr}
                         r = _apply_vertex_model(
                             r, x[g], y[g], z[g], verts, vertex_model
                         )

@@ -48,10 +48,19 @@ _SAMP = 4  # lattice samples per axis inside the kernel
 _K = 6  # max grid cells per axis (bbox + pad); kernel output = _K*_K longs
 
 
+# Cells one level FINER than the tile edge: at the closest level a cell is
+# roughly tile-sized and the padded bbox over-covers ~16-20x (measured
+# round 4: median area ratio 21.6).  One extra level quarters the cell area
+# while the bbox grows to ~5x5 <= _K, cutting the median ratio to ~5 for a
+# ~1.5x row increase — the coverer's cells-vs-tightness tradeoff
+# (s2region_coverer.d:102-106) resolved toward tightness.
+TILE_LEVEL_OFFSET = 1
+
+
 def tile_level_for_extent(extent_deg: float) -> int:
     """Covering level for one tile of an extent/GRID-degree footprint."""
     tile_rad = math.radians(extent_deg / GRID)
-    return metrics.AVG_EDGE.get_closest_level(tile_rad)
+    return min(30, metrics.AVG_EDGE.get_closest_level(tile_rad) + TILE_LEVEL_OFFSET)
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -251,6 +260,48 @@ def tile_containment_check(
     return t.groupBy(id_col, "tile_x", "tile_y").agg(
         F.count(F.lit(1)).alias("n_probes"),
         F.sum(F.when(covered, 0).otherwise(1)).alias("n_missed"),
+    )
+
+
+def tile_assignment_stats(
+    images: DataFrame,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    extent_col: str = "extent_deg",
+    id_col: str = "image_id",
+    known_extents: list[float] | None = None,
+) -> DataFrame:
+    """Per-tile TIGHTNESS stats — the over-assignment counterpart of
+    ``tile_containment_check`` (which proves completeness only).  Mirrors
+    the reference's published covering area-ratio discipline
+    (s2region_coverer.d:102-106): returns per tile
+    (image_id, tile_x, tile_y, n_cells, area_ratio) where area_ratio =
+    sum(exact cell areas) / spherical tile area.  A regression that quietly
+    over-assigns (e.g. the cap backstop taking over for interior tiles)
+    shows up as a ratio blow-up long before anything is incorrect."""
+    assigned = image_tile_assignment(
+        images, lat_col, lng_col, extent_col, id_col, known_extents
+    )
+    per_tile = assigned.withColumn(
+        "cell_area", kernels.cell_exact_area(F.col("cell_id"))
+    ).groupBy(id_col, "tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("cell_area").alias("covered_area"),
+    )
+    attrs = images.select(id_col, lat_col, lng_col, extent_col)
+    t = _tile_bounds(per_tile.join(attrs, id_col), lat_col, lng_col, extent_col)
+    # exact spherical area of the lat/lng tile rect:
+    # dlng_rad * (sin(lat1) - sin(lat0))
+    tile_area = (
+        F.radians(F.col("lng1") - F.col("lng0"))
+        * (F.sin(F.radians(F.col("lat1"))) - F.sin(F.radians(F.col("lat0"))))
+    )
+    return t.select(
+        id_col,
+        "tile_x",
+        "tile_y",
+        "n_cells",
+        (F.col("covered_area") / tile_area).alias("area_ratio"),
     )
 
 

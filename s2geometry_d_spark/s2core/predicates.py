@@ -313,6 +313,49 @@ def crossing_sign_pairs(A, B, C, D) -> np.ndarray:
     return out
 
 
+def crossings_with_edge_arrays(ax, ay, az, bx, by, bz, ea, eb) -> np.ndarray:
+    """Same contract as :func:`crossings_with_fixed_edges` but the edge set
+    arrives as (m, 3) numpy arrays and the edge loop is vectorized too —
+    one (n, m) broadcast per determinant instead of m passes.  This is the
+    hot path of the boundary-cell PIP UDFs: the stored per-cell payload IS
+    these arrays, so no per-batch tuple rebuild exists (round-3 verdict
+    finding #3)."""
+    ea = np.asarray(ea, dtype=np.float64).reshape(-1, 3)
+    eb = np.asarray(eb, dtype=np.float64).reshape(-1, 3)
+    n = bx.shape[0]
+    m = ea.shape[0]
+    counts = np.zeros(n, dtype=np.int64)
+    if m == 0 or n == 0:
+        return counts
+    a = (float(ax), float(ay), float(az))
+    abx = ay * bz - az * by
+    aby = az * bx - ax * bz
+    abz = ax * by - ay * bx
+    det_c = abx[:, None] * ea[None, :, 0] + aby[:, None] * ea[None, :, 1] + abz[:, None] * ea[None, :, 2]
+    det_d = abx[:, None] * eb[None, :, 0] + aby[:, None] * eb[None, :, 1] + abz[:, None] * eb[None, :, 2]
+    s_abc = triage_sign_vec(det_c)
+    s_abd = triage_sign_vec(det_d)
+    acb = -s_abc
+    possible = (acb == s_abd) & (acb != 0)
+    uncertain = (s_abc == 0) | (s_abd == 0)
+    cd = np.cross(ea, eb)  # (m, 3)
+    det_b = bx[:, None] * cd[None, :, 0] + by[:, None] * cd[None, :, 1] + bz[:, None] * cd[None, :, 2]
+    s_cdb = triage_sign_vec(det_b)
+    cbd = -s_cdb
+    dac = np.array(
+        [sign(tuple(ea[j]), tuple(eb[j]), a) for j in range(m)], dtype=np.int8
+    )
+    crossing = possible & (cbd == acb) & (dac[None, :] == acb)
+    uncertain |= possible & (s_cdb == 0)
+    counts = (crossing & ~uncertain).sum(axis=1).astype(np.int64)
+    if uncertain.any():
+        for i, j in zip(*np.nonzero(uncertain)):
+            bi = (float(bx[i]), float(by[i]), float(bz[i]))
+            if edge_or_vertex_crossing(a, bi, tuple(ea[j]), tuple(eb[j])):
+                counts[i] += 1
+    return counts
+
+
 def crossings_with_fixed_edges(ax, ay, az, bx, by, bz, edges) -> np.ndarray:
     """Count edge-or-vertex crossings of arcs (A, B_i) against a fixed edge
     list, vectorized over the B points.

@@ -173,3 +173,96 @@ def test_knn_edge_targets_matches_scalar_brute_force(spark, edges):
         )[:4]
         want = [(i + 1, e) for i, (_, e) in enumerate(scored)]
         assert sorted(got[qid]) == want, (qid, got[qid], want)
+
+
+def test_knn_edges_max_error_tolerance(spark):
+    """max_error option (s2closest_edge_query.d:199-272): with a LARGE
+    max_error the ring exits early and ranks may be approximate, but every
+    reported distance must be within max_error of the true i-th distance —
+    the approximation contract, checked against brute force."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 500
+    lat = np.degrees(np.arcsin(rng.uniform(-0.6, 0.6, n + 1)))
+    lng = rng.uniform(-40.0, 40.0, n + 1)
+    rows = [
+        (i, float(lat[i]), float(lng[i]), float(lat[i + 1]), float(lng[i + 1]))
+        for i in range(n)
+    ]
+    edges = spark.createDataFrame(rows, ["edge_id", "alat", "alng", "blat", "blng"])
+    queries = [("q1", 5.0, 5.0), ("q2", -20.0, -10.0)]
+    k = 8
+    max_error_deg = 2.0
+
+    approx = knn.knn_edges_join(
+        edges, queries, k=k, n_edges_hint=n, max_error_deg=max_error_deg
+    )
+    exact = knn.knn_edges_brute_force(edges, queries, k=k)
+    by_q_a, by_q_e = {}, {}
+    for r in approx.collect():
+        by_q_a.setdefault(r["query_id"], {})[r["rank"]] = r["dist2"]
+    for r in exact.collect():
+        by_q_e.setdefault(r["query_id"], {})[r["rank"]] = r["dist2"]
+
+    def ang(d2):
+        return math.degrees(2.0 * math.asin(min(1.0, 0.5 * math.sqrt(max(d2, 0.0)))))
+
+    for qid, _, _ in queries:
+        assert len(by_q_a[qid]) == k
+        for rank in range(1, k + 1):
+            got = ang(by_q_a[qid][rank])
+            true = ang(by_q_e[qid][rank])
+            # reported i-th can exceed the true i-th by at most max_error
+            assert got <= true + max_error_deg + 1e-9, (qid, rank, got, true)
+            # and can never beat it (results are genuine edges)
+            assert got >= true - 1e-9, (qid, rank, got, true)
+
+
+def test_knn_edges_max_error_zero_is_exact(spark):
+    """max_error=0 must preserve exact semantics bit-for-bit."""
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    n = 300
+    lat = np.degrees(np.arcsin(rng.uniform(-0.5, 0.5, n + 1)))
+    lng = rng.uniform(-30.0, 30.0, n + 1)
+    rows = [
+        (i, float(lat[i]), float(lng[i]), float(lat[i + 1]), float(lng[i + 1]))
+        for i in range(n)
+    ]
+    edges = spark.createDataFrame(rows, ["edge_id", "alat", "alng", "blat", "blng"])
+    queries = [("q1", 3.0, 3.0)]
+    a = knn.knn_edges_join(edges, queries, k=6, n_edges_hint=n, max_error_deg=0.0)
+    b = knn.knn_edges_brute_force(edges, queries, k=6)
+    key = lambda rows: sorted((r.query_id, r.rank, r.edge_id) for r in rows)
+    assert key(a.collect()) == key(b.collect())
+
+
+def test_include_interiors_table_path_parity(spark, edges):
+    """The distributed include_interiors variant (interior hits from the
+    poly_index TABLE, round-3 ADVICE #4) must return the identical result
+    set as the driver-object variant on the same shapes."""
+    from s2geometry_d_spark.operators.poly_index import (
+        build_polygon_index,
+        polygons_dataframe,
+    )
+
+    polys = [
+        ("around_q1", Polygon([Loop.make_regular(10.0, 20.0, 5.0, 16)], "a")),
+        ("elsewhere", Polygon([Loop.make_regular(-70.0, -120.0, 3.0, 16)], "b")),
+    ]
+    idx = build_polygon_index(polygons_dataframe(spark, polys))
+    table_res = knn.knn_edges_join_with_interiors_table(
+        edges, QUERIES, k=3, index_df=idx, n_edges_hint=4000
+    ).collect()
+    driver_res = knn.knn_edges_join_with_interiors(
+        edges, QUERIES, k=3, interior_shapes=polys, n_edges_hint=4000
+    ).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["shape_id"], r["edge_id"], round(r["dist2"], 12))
+        for r in rows
+    )
+    assert key(table_res) == key(driver_res)

@@ -142,3 +142,65 @@ def test_cell_partitioned_write_prunes_partitions(spark, tmp_path):
     filtered = back.filter(F.col("part_cell") == tok)
     plan = _plan(filtered)
     assert "PartitionFilters" in plan and "part_cell" in plan
+
+
+def test_bucketed_index_join_has_no_exchange(spark, tmp_path):
+    """SURVEY §2.7's sort-order promise, demonstrated: when the polygon
+    index table AND the point table are bucketed+sorted on the same stored
+    join_key, the prefix join compiles with NO Exchange on either side
+    (bucket-local SMJ), and the result matches the unbucketed path."""
+    from s2geometry_d_spark.functions import kernels
+    from s2geometry_d_spark.operators.poly_index import (
+        build_polygon_index,
+        points_in_polygons_bucketed,
+        points_in_polygons_table,
+        polygons_dataframe,
+        write_bucketed_index,
+    )
+    from s2geometry_d_spark.plans import demo
+    from s2geometry_d_spark.sources.tables import spatial_points
+
+    regions = demo.many_poly_regions()[:50]
+    idx = build_polygon_index(polygons_dataframe(spark, regions))
+    jl = write_bucketed_index(
+        idx, "t_idx_bucketed", n_buckets=8, path=str(tmp_path / "idx")
+    )
+    pts = spatial_points(spark, SF_DIR).withColumn(
+        "join_key", kernels.parent_signed(F.col("cell_id"), jl)
+    )
+    (
+        pts.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(8, "join_key")
+        .sortBy("join_key")
+        .option("path", str(tmp_path / "pts"))
+        .saveAsTable("t_pts_bucketed")
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the join to be a real SMJ so bucketing (not a broadcast)
+        # is what eliminates the shuffles
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = points_in_polygons_bucketed(
+            spark.table("t_pts_bucketed"), spark.table("t_idx_bucketed")
+        )
+        plan = _plan(out)
+        assert "SortMergeJoin" in plan, plan
+        exchanges = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange" in ln and "Broadcast" not in ln
+        ]
+        assert not exchanges, plan
+        got = {(r["poly_id"], r["point_id"]) for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_pts_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_idx_bucketed")
+    want = {
+        (r["poly_id"], r["point_id"])
+        for r in points_in_polygons_table(
+            spatial_points(spark, SF_DIR), idx, join_level=jl
+        ).collect()
+    }
+    assert got == want
