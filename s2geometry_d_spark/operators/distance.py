@@ -186,21 +186,70 @@ def group_rect_bounds(
             (g, b) for b, cnt, mn, mx in bins if cnt >= 2 and (mx - mn) >= best
         )
 
-    if refine:
-        pairs_df = spark.createDataFrame(refine, [group_col, "_bin"])
-        sub = (
+    # Iterative refinement by SUB-BIN AGGREGATES, never raw values: each
+    # level re-bins only the still-ambiguous bins 4096x finer and collects
+    # the occupied-sub-bin aggregates (count/min/max), from which every
+    # between-sub-bin gap is exact.  A bin stays ambiguous only while its
+    # internal span could beat the current best gap — each level divides
+    # that span bound by n_bins, so the loop reaches the double-precision
+    # floor in <= 4 levels with no per-value collect anywhere (round-3
+    # verdict #5: the old single-level path collected every distinct
+    # longitude of a pathological bin).
+    level_width = width
+    while refine:
+        level_width = level_width / n_bins
+        if level_width < 1e-12:
+            # below ulp scale: remaining ambiguity is a handful of
+            # ulp-adjacent distinct doubles per bin — enumerate them
+            pairs_df = spark.createDataFrame(refine, [group_col, "_bin"])
+            sub = (
+                src.join(F.broadcast(pairs_df), [group_col, "_bin"], "left_semi")
+                .distinct()
+                .collect()
+            )
+            by_g: dict = {}
+            for r in sub:
+                by_g.setdefault(r[group_col], []).append(r[lng_col])
+            for g, lngs in by_g.items():
+                lngs.sort()
+                cand_gaps[g].extend((b - a, a, b) for a, b in zip(lngs, lngs[1:]))
+            break
+        pairs_df = spark.createDataFrame(
+            [(g, b) for g, b in refine], [group_col, "_bin"]
+        )
+        sub_bin = F.floor((F.col(lng_col) + 180.0) / F.lit(level_width)).cast("long")
+        sub_rows = (
             src.join(F.broadcast(pairs_df), [group_col, "_bin"], "left_semi")
-            .distinct()
+            .withColumn("_sbin", sub_bin)
+            .groupBy(group_col, "_bin", "_sbin")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min(lng_col).alias("mn"),
+                F.max(lng_col).alias("mx"),
+            )
             .collect()
         )
-        by_bin: dict = {}
-        for r in sub:
-            by_bin.setdefault((r[group_col], r["_bin"]), []).append(r[lng_col])
-        for (g, _), lngs in by_bin.items():
-            lngs.sort()
-            cand_gaps[g].extend(
-                (b - a, a, b) for a, b in zip(lngs, lngs[1:])
+        per_parent: dict = {}
+        for r in sub_rows:
+            per_parent.setdefault((r[group_col], r["_bin"]), []).append(
+                (r["_sbin"], r["cnt"], r["mn"], r["mx"])
             )
+        refine = []
+        for (g, parent), sbins in per_parent.items():
+            sbins.sort()
+            cand_gaps[g].extend(
+                (nxt_mn - mx, mx, nxt_mn)
+                for (_, _, _, mx), (_, _, nxt_mn, _) in zip(sbins, sbins[1:])
+            )
+            best = max(gap for gap, _, _ in cand_gaps[g])
+            refine.extend(
+                (g, parent, s) for s, cnt, mn, mx in sbins if cnt >= 2 and (mx - mn) >= best
+            )
+        # deeper levels key on the SUB-bin: fold it into the parent key by
+        # re-binning src on the finer index next round
+        if refine:
+            src = src.withColumn("_bin", sub_bin)
+            refine = [(g, s) for g, _, s in refine]
 
     out_rows = []
     for g, gaps in cand_gaps.items():

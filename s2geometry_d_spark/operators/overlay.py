@@ -192,12 +192,24 @@ def loop_pairs_dataframe(spark: SparkSession, pairs) -> DataFrame:
     return spark.createDataFrame(rows, PAIR_SCHEMA_LOOPS)
 
 
-def overlay_vertices_loops(pairs_df: DataFrame, op: str) -> DataFrame:
+def overlay_vertices_loops(
+    pairs_df: DataFrame,
+    op: str,
+    degenerate: bool = False,
+    snap_level: int | None = None,
+) -> DataFrame:
     """Boolean overlay over MULTI-LOOP polygon pairs (shells + CW holes):
     the interior-left classification and exact-successor stitching extend
     unchanged to hole loops, so annulus ∩ disc, disc − annulus and
     island-producing unions all run through the same walk
-    (s2boolean_operation.d:225-481 nesting cases)."""
+    (s2boolean_operation.d:225-481 nesting cases).
+
+    ``degenerate=True`` routes each pair through the degeneracy-tolerant
+    walk (shared vertices / shared sub-edges / tangencies resolve by the
+    reference's snap-rounded-graph semantics); ``snap_level`` additionally
+    snaps both operands to level-L cell centers first (s2builder.d snap
+    rounding) — the full dirty-input pipeline."""
+    from ..s2core.boolean import overlay_degenerate, overlay_snapped
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -208,7 +220,13 @@ def overlay_vertices_loops(pairs_df: DataFrame, op: str) -> DataFrame:
             b = Polygon(
                 [Loop([tuple(v) for v in loop]) for loop in row["b_loops"]], "b"
             )
-            for loop in overlay(a, b, op):
+            if snap_level is not None:
+                loops = overlay_snapped(a, b, op, snap_level=snap_level)
+            elif degenerate:
+                loops = overlay_degenerate(a, b, op)
+            else:
+                loops = overlay(a, b, op)
+            for loop in loops:
                 for v in loop:
                     out.append((row["pair_id"], v[0], v[1], v[2]))
         return pd.DataFrame(out, columns=["pair_id", "vx", "vy", "vz"])

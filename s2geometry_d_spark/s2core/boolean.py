@@ -226,6 +226,191 @@ def overlay(poly_a, poly_b, op: str) -> list[list[tuple]]:
     return loops
 
 
+# ---------------------------------------------- degenerate-tolerant overlay
+
+
+def _signed_area_from_edges(edges) -> float:
+    """Loop-structure-agnostic signed area: sum of signed triangle excesses
+    from a fixed reference point over the DIRECTED edge set (the boundary
+    line integral) — lets degenerate-overlay tests check areas without
+    trusting the stitcher's loop grouping."""
+    o = normalize((0.12, 0.34, 0.93))
+    return sum(signed_triangle_area(o, u, v) for u, v in edges)
+
+
+def _on_edge_strictly(u, v, w) -> bool:
+    """w lies strictly inside the arc u->v (exact collinearity + between).
+
+    Collinearity must use the UNPERTURBED exact sign: pred.sign applies the
+    SoS tie-break, which by design never returns 0 for distinct points —
+    exactly the answer this predicate needs."""
+    if w == u or w == v:
+        return False
+    if pred.triage_sign(u, v, w) != 0:
+        return False
+    if pred.exact_sign(u, v, w, perturb=False) != 0:
+        return False
+    duv = chord2_between(u, v)
+    return chord2_between(u, w) < duv and chord2_between(v, w) < duv
+
+
+def _split_edges(edges, extra_points, other_vertices):
+    """Split every edge at (a) its precomputed crossing points
+    (``extra_points[i]`` — SHARED Python objects with the other side, so
+    exact-successor stitching works across chains) and (b) other-region
+    VERTICES lying exactly on it — the degenerate configurations snapping
+    produces (shared sub-edges, vertex tangencies)."""
+    out = []
+    for i, (u, v) in enumerate(edges):
+        pts = list(extra_points.get(i, []))
+        for w in other_vertices:
+            if _on_edge_strictly(u, v, w):
+                pts.append(w)
+        pts.sort(key=lambda x: chord2_between(u, x))
+        chain = [u, *pts, v]
+        for k in range(len(chain) - 1):
+            if chord2_between(chain[k], chain[k + 1]) > 0.0:
+                out.append((chain[k], chain[k + 1]))
+    return out
+
+
+def _probe(u, v, side: int):
+    """Point epsilon to the LEFT (side=+1) or RIGHT (-1) of edge u->v at its
+    midpoint — off-boundary by construction, so membership is decided by
+    plain parity even when the edge itself lies ON the other boundary."""
+    m = _arc_midpoint(u, v)
+    n = normalize(
+        (
+            u[1] * v[2] - u[2] * v[1],
+            u[2] * v[0] - u[0] * v[2],
+            u[0] * v[1] - u[1] * v[0],
+        )
+    )
+    eps = 1e-9 * side
+    return normalize((m[0] + eps * n[0], m[1] + eps * n[1], m[2] + eps * n[2]))
+
+
+def _stitch(edges) -> list[list[tuple]]:
+    """Loop assembly with a CCW-sweep successor rule at shared vertices
+    (where 2-in/2-out configurations appear): among unused out-edges, take
+    the one whose direction is LAST in CCW order from the incoming
+    direction — the minimal interior wedge, keeping each loop simple."""
+    succ: dict = {}
+    for e in edges:
+        succ.setdefault(e[0], []).append(e)
+    loops: list[list[tuple]] = []
+    used: set = set()
+    for e in edges:
+        if id(e) in used:
+            continue
+        loop = []
+        cur = e
+        while True:
+            used.add(id(cur))
+            loop.append(cur[0])
+            nxts = [x for x in succ.get(cur[1], []) if id(x) not in used]
+            if not nxts:
+                break
+            if len(nxts) == 1:
+                cur = nxts[0]
+            else:
+                t = cur[1]
+                incoming = cur[0]  # direction point back along the arrival edge
+                best = nxts[0]
+                for cand in nxts[1:]:
+                    if pred.ordered_ccw(incoming, best[1], cand[1], t):
+                        best = cand
+                cur = best
+        loops.append(loop)
+    return loops
+
+
+def overlay_degenerate(poly_a, poly_b, op: str) -> list[list[tuple]]:
+    """Boolean overlay tolerant of SHARED VERTICES and SHARED (SUB-)EDGES —
+    the out-of-generic-position configurations the reference resolves
+    through its snap-rounded edge graph (s2boolean_operation.d:225-481 over
+    s2builder.d).  Same result contract as :func:`overlay`; degenerate
+    boundary coincidences resolve by the reference's semantics with
+    degenerate edges disabled: same-direction shared edges appear ONCE,
+    opposite-direction shared edges and edge-tangencies vanish.
+
+    Method: split at crossings AND at other-region vertices on the edge;
+    classify each sub-edge by an epsilon-LEFT (or RIGHT, for union)
+    membership probe — never ON the boundary, so coincident edges classify
+    exactly; dedupe identical directed sub-edges; stitch with a CCW-sweep
+    successor rule at 2-in/2-out shared vertices."""
+    if op not in ("intersection", "union", "difference"):
+        raise ValueError(op)
+    ea = _directed_edges(poly_a)
+    eb_orig = _directed_edges(poly_b)
+    # difference = A ∩ complement(B): complement's boundary is B reversed
+    eb = [(v, u) for u, v in eb_orig] if op == "difference" else eb_orig
+    ra = ILRegion(ea)
+    rb = ILRegion(eb_orig)  # membership in B itself (original orientation)
+
+    va = {w for e in ea for w in e}
+    vb = {w for e in eb for w in e}
+    # crossing points computed ONCE and shared between both chains (exact
+    # float equality is what the stitcher's successor lookup relies on)
+    cross_a: dict = {}
+    cross_b: dict = {}
+    for i, (u0, u1) in enumerate(ea):
+        for j, (w0, w1) in enumerate(eb):
+            if pred.crossing_sign(u0, u1, w0, w1) > 0:
+                x = edge_intersection(u0, u1, w0, w1)
+                cross_a.setdefault(i, []).append(x)
+                cross_b.setdefault(j, []).append(x)
+    sa = _split_edges(ea, cross_a, vb)
+    sb = _split_edges(eb, cross_b, va)
+
+    # classification probes:
+    #   intersection — boundary edge iff its interior side (left) is inside
+    #     the OTHER region;
+    #   union — iff its exterior side (right) is outside the other region;
+    #   difference — A-side: left outside B; (reversed) B-side: left in A.
+    side = -1 if op == "union" else 1
+
+    def keep_a(u, v):
+        in_b = rb.contains_point(_probe(u, v, side))
+        if op == "intersection":
+            return in_b
+        return not in_b  # union (right outside B) / difference (left outside B)
+
+    def keep_b(u, v):
+        in_a = ra.contains_point(_probe(u, v, side))
+        return (not in_a) if op == "union" else in_a
+
+    kept = [(u, v) for u, v in sa if keep_a(u, v)]
+    # dedupe coincident same-direction sub-edges (shared boundary kept once)
+    seen = set(kept)
+    for u, v in sb:
+        if (u, v) not in seen and keep_b(u, v):
+            kept.append((u, v))
+            seen.add((u, v))
+
+    return _stitch(kept)
+
+
+def overlay_snapped(poly_a, poly_b, op: str, snap_level: int = 20) -> list[list[tuple]]:
+    """The reference's full pipeline shape for dirty inputs: snap both
+    operands to level-L cell centers (s2builder.d snap rounding — vertices
+    within the snap radius become EXACTLY equal floats), then run the
+    degeneracy-tolerant overlay on the now-coincident geometry.  Collapsed
+    operands follow the boolean identities (empty ∩ X = empty, etc.)."""
+    from .builder import snap_polygon
+
+    a = snap_polygon(poly_a, snap_level)
+    b = snap_polygon(poly_b, snap_level)
+    if a is None or b is None:
+        if op == "intersection":
+            return []
+        if op == "union":
+            survivor = a or b
+            return [lp.vertices for lp in survivor.loops] if survivor else []
+        return [lp.vertices for lp in a.loops] if a else []
+    return overlay_degenerate(a, b, op)
+
+
 def union_many(polygons: list) -> list[list[tuple]]:
     """N-way union by folding the pairwise overlay (the reference's
     S2Polygon.destructiveUnion over s2boolean_operation.d): U_i =

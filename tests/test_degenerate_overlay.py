@@ -1,0 +1,197 @@
+"""Snap-then-overlay for degenerate inputs (round-4: the verdict's ask #5).
+
+The reference resolves shared-vertex / shared-edge / tangency
+configurations through its snap-rounded edge graph
+(s2boolean_operation.d:225-481 over s2builder.d); this engine composes
+builder-lite snapping (s2core/builder.py) with a degeneracy-tolerant
+overlay (epsilon-side probes + vertex-on-edge splits + CCW-sweep
+stitching).  Expected semantics, with degenerate edges disabled:
+
+* same-direction shared edges appear ONCE in the result;
+* opposite-direction shared edges (adjacent regions) vanish;
+* edge/vertex tangencies leave no degenerate artifacts;
+* areas obey the boolean identities exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+from s2geometry_d_spark.s2core import boolean as B
+from s2geometry_d_spark.s2core.loops import Loop, Polygon
+from s2geometry_d_spark.s2core.regions import latlng_point
+
+
+def _poly(latlngs, name):
+    return Polygon([Loop([latlng_point(*p) for p in latlngs])], name)
+
+
+def _sq(lats, lngs, name):
+    return _poly(
+        [(lats[0], lngs[0]), (lats[0], lngs[1]), (lats[1], lngs[1]), (lats[1], lngs[0])],
+        name,
+    )
+
+
+def _edge_area(loops):
+    return B._signed_area_from_edges(
+        [(vs[i], vs[(i + 1) % len(vs)]) for vs in loops for i in range(len(vs))]
+    )
+
+
+def _parea(p):
+    return B.loops_signed_area([lp.vertices for lp in p.loops])
+
+
+def _simple(loops):
+    return all(len(set(vs)) == len(vs) for vs in loops)
+
+
+A = _sq((0, 10), (0, 10), "A")
+
+
+def _check(a, b, want_inter, want_union, want_diff, tol=1e-12):
+    for op, want in (
+        ("intersection", want_inter),
+        ("union", want_union),
+        ("difference", want_diff),
+    ):
+        loops = B.overlay_degenerate(a, b, op)
+        assert _simple(loops), (op, loops)
+        assert abs(_edge_area(loops) - want) < tol, (op, _edge_area(loops), want)
+
+
+def test_shared_full_edge():
+    """Adjacent squares sharing a full (opposite-direction) edge: the shared
+    edge vanishes from the union, the intersection is empty."""
+    b = _sq((0, 10), (10, 20), "B")
+    _check(A, b, 0.0, _parea(A) + _parea(b), _parea(A))
+    u = B.overlay_degenerate(A, b, "union")
+    assert len(u) == 1  # ONE rectangle, not two squares with a seam
+    # the seam vertices survive as collinear pass-throughs, never duplicated
+    all_verts = [v for vs in u for v in vs]
+    assert len(all_verts) == len(set(all_verts))
+
+
+def test_shared_vertex_corner_touch():
+    """Squares touching at exactly one shared vertex: union is two SIMPLE
+    loops through the shared point (the 2-in/2-out stitch pairing), not a
+    figure-eight."""
+    b = _sq((10, 20), (10, 20), "B")
+    _check(A, b, 0.0, _parea(A) + _parea(b), _parea(A))
+    u = B.overlay_degenerate(A, b, "union")
+    assert len(u) == 2
+    assert _simple(u)
+
+
+def test_identical_polygons():
+    b = _sq((0, 10), (0, 10), "B")
+    _check(A, b, _parea(A), _parea(A), 0.0)
+    # intersection of identical polygons keeps each shared edge exactly once
+    inter = B.overlay_degenerate(A, b, "intersection")
+    assert len(inter) == 1 and len(inter[0]) == 4
+
+
+def test_contained_sharing_boundary():
+    """B is the right half of A (shared right edge + half of top/bottom):
+    inter = B, union = A, diff = left half."""
+    b = _sq((0, 10), (5, 10), "B")
+    _check(A, b, _parea(b), _parea(A), _parea(A) - _parea(b))
+    d = B.overlay_degenerate(A, b, "difference")
+    assert len(d) == 1 and _simple(d)
+
+
+def test_vertex_tangent_to_edge():
+    """CCW triangle whose apex touches the interior of A's bottom edge
+    EXACTLY (the edge lies on the equator, where z = 0 is exact, so the
+    apex is exactly collinear — a lat!=0 edge would bulge poleward and the
+    'tangent' point would really be inside): the tangency point splits the
+    edge but contributes no area to the intersection."""
+    tri = _poly([(0, 5), (-5, 2), (-5, 8)], "T")
+    assert _parea(tri) > 0  # CCW (interior-left) fixture sanity
+    _check(A, tri, 0.0, _parea(A) + _parea(tri), _parea(A))
+    u = B.overlay_degenerate(A, tri, "union")
+    # the apex appears in the union boundary (edge split survived)
+    apex = latlng_point(0, 5)
+    assert any(apex in vs for vs in u)
+
+
+def test_inverted_region_operand():
+    """A CW loop is the complement region; the probes classify against it
+    consistently (found while fixturing: the CW tangent triangle ==
+    everything BUT the triangle)."""
+    tri_cw = _poly([(0, 5), (-5, 8), (-5, 2)], "Tcw")
+    inter = B.overlay_degenerate(A, tri_cw, "intersection")
+    # A ∩ complement(triangle) = A (triangle exterior covers A)
+    assert abs(_edge_area(inter) - _parea(A)) < 1e-12
+
+
+def test_generic_position_parity():
+    """On clean inputs the degenerate-tolerant path must agree with the
+    generic-position walk exactly (area and membership)."""
+    c = _poly([(3, 3), (3, 14), (14, 14), (14, 3)], "C")
+    rnd = random.Random(5)
+    for op in ("intersection", "union", "difference"):
+        l1 = B.overlay(A, c, op)
+        l2 = B.overlay_degenerate(A, c, op)
+        assert abs(B.loops_signed_area(l1) - _edge_area(l2)) < 1e-12
+        r1 = B.ILRegion.from_loops(l1)
+        r2 = B.ILRegion.from_loops(l2)
+        for _ in range(200):
+            p = latlng_point(rnd.uniform(-5, 20), rnd.uniform(-5, 20))
+            assert r1.contains_point(p) == r2.contains_point(p), op
+
+
+def test_overlay_snapped_near_coincident():
+    """Vertices within the snap radius become exactly equal, after which
+    the degenerate rules apply: near-identical squares intersect to the
+    snapped square and difference to empty."""
+    a2 = _poly([(0, 1e-9), (0, 10), (10, 10), (10, 1e-9)], "A2")
+    inter = B.overlay_snapped(A, a2, "intersection", snap_level=16)
+    assert abs(_edge_area(inter) - _parea(A)) < 1e-4  # snap moves vertices
+    diff = B.overlay_snapped(A, a2, "difference", snap_level=16)
+    assert diff == []
+
+
+def test_overlay_snapped_collapsed_operand():
+    """An operand that collapses under snapping follows the boolean
+    identities (empty ∩ X = empty; empty ∪ X = X; X − empty = X)."""
+    sliver = _poly([(0, 0), (0, 1e-10), (1e-10, 1e-10)], "S")
+    assert B.overlay_snapped(A, sliver, "intersection", snap_level=10) == []
+    u = B.overlay_snapped(A, sliver, "union", snap_level=10)
+    assert len(u) == 1
+    d = B.overlay_snapped(A, sliver, "difference", snap_level=10)
+    assert len(d) == 1
+
+
+def test_degenerate_distributed_operator(spark):
+    """The applyInPandas operator with degenerate=True must agree with the
+    driver-side walk on every degenerate pair and op."""
+    from s2geometry_d_spark.operators.overlay import (
+        loop_pairs_dataframe,
+        overlay_vertices_loops,
+    )
+
+    fixtures = [
+        (0, A, _sq((0, 10), (10, 20), "B0")),     # shared edge
+        (1, A, _sq((10, 20), (10, 20), "B1")),    # corner touch
+        (2, A, _sq((0, 10), (0, 10), "B2")),      # identical
+        (3, A, _sq((0, 10), (5, 10), "B3")),      # contained, shared boundary
+    ]
+    pairs = [
+        (k, [lp.vertices for lp in a.loops], [lp.vertices for lp in b.loops])
+        for k, a, b in fixtures
+    ]
+    df = loop_pairs_dataframe(spark, pairs)
+    for op in ("intersection", "union", "difference"):
+        got = sorted(
+            (r["pair_id"], round(r["vx"], 12), round(r["vy"], 12), round(r["vz"], 12))
+            for r in overlay_vertices_loops(df, op, degenerate=True).collect()
+        )
+        want = sorted(
+            (k, round(v[0], 12), round(v[1], 12), round(v[2], 12))
+            for k, a, b in fixtures
+            for loop in B.overlay_degenerate(a, b, op)
+            for v in loop
+        )
+        assert got == want, op

@@ -178,3 +178,47 @@ class TestSmjParity:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_group_rect_bounds_pathological_dense_bin(spark):
+    """Round-3 verdict #5: refinement must stay aggregate-only even when a
+    group packs thousands of distinct longitudes into single bins with a
+    tiny best gap (the old path collected every distinct value).  Checked
+    against the brute-force sort construction."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from s2geometry_d_spark.operators.distance import group_rect_bounds
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # group "dense": 4000 longitudes inside ~2 bin widths (bin width =
+    # 360/4096 ~ 0.0879 deg) -> every between-bin gap is tiny, the winning
+    # gap lives INSIDE a bin and needs multi-level sub-binning to find
+    base = 10.0
+    lngs = np.sort(rng.uniform(base, base + 0.17, 4000))
+    # carve a deliberate interior gap much smaller than a bin width
+    lngs = lngs[(lngs < base + 0.1) | (lngs > base + 0.13)]
+    for ln in lngs:
+        rows.append(("dense", float(rng.uniform(-5, 5)), float(ln)))
+    # control group: ordinary spread
+    for ln in rng.uniform(-170, 170, 500):
+        rows.append(("spread", float(rng.uniform(-5, 5)), float(ln)))
+    df = spark.createDataFrame(rows, ["g", "lat", "lng"])
+    got = {
+        r["g"]: (r["lng_lo"], r["lng_hi"])
+        for r in group_rect_bounds(df, "g").collect()
+    }
+    # brute force: largest circular gap over the sorted longitudes
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for g, _, ln in rows:
+        by_g[g].append(ln)
+    for g, ls in by_g.items():
+        ls = sorted(set(ls))
+        gaps = [(b - a, a, b) for a, b in zip(ls, ls[1:])]
+        gaps.append((ls[0] + 360.0 - ls[-1], ls[-1], ls[0]))
+        gap, start, end = min(gaps, key=lambda t: (-t[0], t[1]))
+        want = (round(end, 6), round(start, 6))
+        assert got[g] == want, (g, got[g], want)
