@@ -57,6 +57,10 @@ EXTRA = [
     "fingerprint",
     "dedup_exact",
     "lang_id",
+    # round 4
+    "polygon_overlay_holes",
+    "knn_edges_maxerror",
+    "tile_assignment_stats",
 ]
 
 

@@ -158,16 +158,28 @@ def group_rect_bounds(
             F.lit(0), F.floor((F.col(lng_col) + 180.0) / F.lit(width)).cast("int")
         ),
     )
-    src = points_df.select(group_col, lng_col).withColumn("_bin", bin_expr)
+    src = points_df.select(group_col, lat_col, lng_col).withColumn("_bin", bin_expr)
+    # lat stats ride the SAME binned aggregate (folded per group on the
+    # driver), so the fact table is scanned exactly once — the separate
+    # lat_agg pass was a second full scan (round-4 profiling)
     binned = src.groupBy(group_col, "_bin").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(lng_col).alias("mn"),
         F.max(lng_col).alias("mx"),
+        F.min(lat_col).alias("lat_mn"),
+        F.max(lat_col).alias("lat_mx"),
     )
     per_group: dict = {}
+    lat_stats: dict = {}
     for r in binned.collect():
         per_group.setdefault(r[group_col], []).append(
             (r["_bin"], r["cnt"], r["mn"], r["mx"])
+        )
+        n0, lo0, hi0 = lat_stats.get(r[group_col], (0, 90.0, -90.0))
+        lat_stats[r[group_col]] = (
+            n0 + r["cnt"],
+            min(lo0, r["lat_mn"]),
+            max(hi0, r["lat_mx"]),
         )
 
     cand_gaps: dict = {}  # group -> [(gap, start_lng, end_lng)]
@@ -197,7 +209,12 @@ def group_rect_bounds(
     # longitude of a pathological bin).
     level_width = width
     while refine:
-        level_width = level_width / n_bins
+        # shrink by n_bins^2 per round: one refinement round resolves all
+        # realistic data (sub-bin width ~5e-9 deg after round one — any
+        # surviving ambiguity means a best gap below that, i.e. near-
+        # duplicate values), so the common case pays ONE extra aggregate
+        # job, not one per bin-level
+        level_width = level_width / (n_bins * n_bins)
         if level_width < 1e-12:
             # below ulp scale: remaining ambiguity is a handful of
             # ulp-adjacent distinct doubles per bin — enumerate them
@@ -254,21 +271,18 @@ def group_rect_bounds(
     out_rows = []
     for g, gaps in cand_gaps.items():
         gap, start, end = min(gaps, key=lambda t: (-t[0], t[1]))
-        out_rows.append((g, end, start))
+        n_pts, lat_lo, lat_hi = lat_stats[g]
+        out_rows.append((g, int(n_pts), lat_lo, lat_hi, end, start))
     # round SQL-side (HALF_UP) — python round() is banker's
-    best_df = spark.createDataFrame(out_rows, [group_col, "lng_lo", "lng_hi"]).select(
+    return spark.createDataFrame(
+        out_rows, [group_col, "n_points", "lat_lo", "lat_hi", "lng_lo", "lng_hi"]
+    ).select(
         group_col,
+        "n_points",
+        F.round("lat_lo", 6).alias("lat_lo"),
+        F.round("lat_hi", 6).alias("lat_hi"),
         F.round("lng_lo", 6).alias("lng_lo"),
         F.round("lng_hi", 6).alias("lng_hi"),
-    )
-
-    lat_agg = points_df.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.round(F.min(lat_col), 6).alias("lat_lo"),
-        F.round(F.max(lat_col), 6).alias("lat_hi"),
-    )
-    return lat_agg.join(F.broadcast(best_df), group_col).select(
-        group_col, "n_points", "lat_lo", "lat_hi", "lng_lo", "lng_hi"
     )
 
 

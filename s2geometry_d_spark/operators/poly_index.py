@@ -64,15 +64,45 @@ def polygons_dataframe(spark: SparkSession, regions) -> DataFrame:
     return spark.createDataFrame(rows, POLYS_SCHEMA)
 
 
+POLYS_LOOPS_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.StringType(), False),
+        T.StructField(
+            "loops", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))), False
+        ),
+    ]
+)
+
+
+def polygons_dataframe_loops(spark: SparkSession, regions) -> DataFrame:
+    """[(poly_id, Polygon)] -> (poly_id, loops) rows — MULTI-LOOP polygons
+    (shells + CW holes, s2polygon.d:129+ nesting).  The cell index is
+    loop-agnostic (clipped edges + contains-center bits over the full edge
+    set), so holes flow through build_polygon_index unchanged."""
+    rows = [
+        (rid, [[list(v) for v in lp.vertices] for lp in poly.loops])
+        for rid, poly in regions
+    ]
+    return spark.createDataFrame(rows, POLYS_LOOPS_SCHEMA)
+
+
 def build_polygon_index(polys_df: DataFrame, max_edges_per_cell: int = 16) -> DataFrame:
     """Distributed index build: one group per polygon, rows out."""
     from ..s2core.loops import Loop, Polygon
     from ..s2core.shapeindex import PolygonCellIndex
 
+    multi = "loops" in polys_df.columns
+
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, row in pdf.iterrows():
-            poly = Polygon([Loop([tuple(v) for v in row["verts"]])], row["poly_id"])
+            if multi:
+                poly = Polygon(
+                    [Loop([tuple(v) for v in lp]) for lp in row["loops"]],
+                    row["poly_id"],
+                )
+            else:
+                poly = Polygon([Loop([tuple(v) for v in row["verts"]])], row["poly_id"])
             idx = PolygonCellIndex(poly, max_edges_per_cell=max_edges_per_cell)
             pid = row["poly_id"]
             for cid, interior in idx.covering_cells():

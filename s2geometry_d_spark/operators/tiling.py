@@ -172,28 +172,59 @@ def tile_cells(
                         ci.from_xyz(mx_, my_, mz_), np.array([lvl_cap])
                     ).reshape(-1)
                 ]
+            # choose the finest level whose per-face padded bboxes (+ cap
+            # cells, un-deduped conservative count) fit the fixed-width
+            # output via a CLOSED-FORM count per candidate level, so the
+            # meshgrid/parent/sort work below runs ONCE per row instead of
+            # once per coarsening step (round-4 profiling: the per-level
+            # rebuild was 2.4x kernel cost at the finer default level)
+            spreads = []
+            for f in np.unique(face[r]):
+                sel = face[r] == f
+                spreads.append(
+                    (
+                        int(f),
+                        int(i[r][sel].min()),
+                        int(i[r][sel].max()),
+                        int(j[r][sel].min()),
+                        int(j[r][sel].max()),
+                    )
+                )
             row_lvl = int(lvl[r])
-            while True:
-                s = np.int64(1) << (30 - row_lvl)
-                cells: list[int] = []
-                for f in np.unique(face[r]):
-                    sel = face[r] == f
-                    ilo = max(int(i[r][sel].min()) // s - 1, 0)
-                    ihi = min(int(i[r][sel].max()) // s + 1, (1 << 30) // s - 1)
-                    jlo = max(int(j[r][sel].min()) // s - 1, 0)
-                    jhi = min(int(j[r][sel].max()) // s + 1, (1 << 30) // s - 1)
-                    gi, gj = np.meshgrid(
-                        np.arange(ilo, ihi + 1) * s, np.arange(jlo, jhi + 1) * s
+            while row_lvl > 0:
+                s_int = 1 << (30 - row_lvl)
+                total = 0
+                for _, imn, imx, jmn, jmx in spreads:
+                    ni_f = (
+                        min(imx // s_int + 1, (1 << 30) // s_int - 1)
+                        - max(imn // s_int - 1, 0)
+                        + 1
                     )
-                    ff = np.full(gi.size, f, dtype=np.int64)
-                    cells.extend(
-                        ci.parent(ci.from_face_ij(ff, gi.ravel(), gj.ravel()), row_lvl)
-                        .tolist()
+                    nj_f = (
+                        min(jmx // s_int + 1, (1 << 30) // s_int - 1)
+                        - max(jmn // s_int - 1, 0)
+                        + 1
                     )
-                cells = sorted(set(cells) | set(cap_cells))
-                if len(cells) <= _K * _K or row_lvl == 0:
+                    total += ni_f * nj_f
+                if total + len(cap_cells) <= _K * _K:
                     break
                 row_lvl -= 1
+            s = np.int64(1) << (30 - row_lvl)
+            cells: list[int] = []
+            for f, imn, imx, jmn, jmx in spreads:
+                ilo = max(imn // int(s) - 1, 0)
+                ihi = min(imx // int(s) + 1, (1 << 30) // int(s) - 1)
+                jlo = max(jmn // int(s) - 1, 0)
+                jhi = min(jmx // int(s) + 1, (1 << 30) // int(s) - 1)
+                gi, gj = np.meshgrid(
+                    np.arange(ilo, ihi + 1) * s, np.arange(jlo, jhi + 1) * s
+                )
+                ff = np.full(gi.size, f, dtype=np.int64)
+                cells.extend(
+                    ci.parent(ci.from_face_ij(ff, gi.ravel(), gj.ravel()), row_lvl)
+                    .tolist()
+                )
+            cells = sorted(set(cells) | set(cap_cells))
             padded = (cells + [cells[0]] * (_K * _K))[: _K * _K]
             signed[r] = ci.to_signed(np.array(padded, dtype=np.uint64))
     return pd.Series(list(signed))
@@ -237,29 +268,79 @@ def tile_containment_check(
     assigned = image_tile_assignment(
         images, lat_col, lng_col, extent_col, id_col, known_extents
     )
-    per_tile = assigned.groupBy(id_col, "tile_x", "tile_y").agg(
-        F.collect_list("cell_id").alias("cells")
+    # ONE aggregation is the only consumer of the expensive tile_cells
+    # kernel subtree; every later branch (probe lattice, cell rows, probe
+    # counts) hangs BELOW this exchange, so Spark's ReuseExchange computes
+    # the assignment exactly once.  (Branching directly on the map-only
+    # subtree re-evaluated the kernel once per branch — measured 3x the
+    # whole check's cost in round 4.)
+    lvl_of = (
+        F.lit(30)
+        - (
+            F.log2(F.col("cell_id").bitwiseAND(-F.col("cell_id")).cast("double"))
+            / F.lit(2.0)
+        ).cast("int")
+    ).alias("_lvl")
+    per_tile = (
+        assigned.select(id_col, "tile_x", "tile_y", "cell_id", lvl_of)
+        .groupBy(id_col, "tile_x", "tile_y")
+        .agg(
+            F.collect_list("cell_id").alias("_cells"),
+            F.collect_set("_lvl").alias("_lvls"),
+        )
     )
     attrs = images.select(id_col, lat_col, lng_col, extent_col)
     t = _tile_bounds(per_tile.join(attrs, id_col), lat_col, lng_col, extent_col)
 
     fr = [i / (probes_per_axis - 1) for i in range(probes_per_axis)]
     fr_arr = F.array(*[F.lit(float(f)) for f in fr])
-    t = (
-        t.withColumn("fx", F.explode(fr_arr))
+    # drop the cell array BEFORE the 81x probe explode (carrying it would
+    # materialize |probes| x |cells| longs); keep only the tiny level set
+    probes = (
+        t.drop("_cells")
+        .withColumn("fx", F.explode(fr_arr))
         .withColumn("fy", F.explode(fr_arr))
         .withColumn("plat", F.col("lat0") + (F.col("lat1") - F.col("lat0")) * F.col("fy"))
         .withColumn("plng", F.col("lng0") + (F.col("lng1") - F.col("lng0")) * F.col("fx"))
         .withColumn("leaf", kernels.cell_from_latlng(F.col("plat"), F.col("plng")))
+        .select(id_col, "tile_x", "tile_y", "fx", "fy", "leaf", "_lvls")
     )
-    # signed-domain interval containment: assigned cell c covers the probe's
-    # leaf iff leaf in [c - (lsb-1), c + (lsb-1)] — all native bit math
-    covered = F.expr(
-        "exists(cells, c -> leaf >= c - (c & -c) + 1 AND leaf <= c + (c & -c) - 1)"
+    # covered iff the leaf's ancestor at one of the tile's ACTUAL cell
+    # levels equals an assigned cell: a codegen equi-join on (tile, cell) —
+    # no interpreted exists(), no per-probe array duplication, and join
+    # output is only the actual matches
+    anc = F.expr(
+        "(leaf & -shiftleft(cast(1 as bigint), cast((30 - _lvl) * 2 as int)))"
+        " | shiftleft(cast(1 as bigint), cast((30 - _lvl) * 2 as int))"
     )
-    return t.groupBy(id_col, "tile_x", "tile_y").agg(
-        F.count(F.lit(1)).alias("n_probes"),
-        F.sum(F.when(covered, 0).otherwise(1)).alias("n_missed"),
+    panc = (
+        probes.withColumn("_lvl", F.explode("_lvls"))
+        .withColumn("_c", anc)
+        .select(id_col, "tile_x", "tile_y", "fx", "fy", "_c")
+    )
+    cells = per_tile.select(
+        id_col, "tile_x", "tile_y", F.explode("_cells").alias("_c")
+    )
+    hit = panc.join(cells, [id_col, "tile_x", "tile_y", "_c"], "left_semi")
+    covered = (
+        hit.select(id_col, "tile_x", "tile_y", "fx", "fy")
+        .distinct()
+        .groupBy(id_col, "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("_n_cov"))
+    )
+    # probe count needs no geometry: the lattice is a constant per tile
+    n_probes = per_tile.select(
+        id_col,
+        "tile_x",
+        "tile_y",
+        F.lit(probes_per_axis * probes_per_axis).alias("n_probes"),
+    )
+    return (
+        n_probes.join(covered, [id_col, "tile_x", "tile_y"], "left")
+        .withColumn(
+            "n_missed", F.col("n_probes") - F.coalesce(F.col("_n_cov"), F.lit(0))
+        )
+        .select(id_col, "tile_x", "tile_y", "n_probes", "n_missed")
     )
 
 

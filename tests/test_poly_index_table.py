@@ -70,3 +70,56 @@ def test_index_table_round_trips_through_parquet(spark, tmp_path):
         for r in points_in_regions(pts, regions).select("region_id", "point_id").collect()
     }
     assert got == want
+
+
+def test_index_table_multi_loop_holes(spark):
+    """Polygons WITH HOLES through the index-TABLE path: the clipped-edge
+    cells and contains-center bits are loop-agnostic, so an annulus indexes
+    and joins like any polygon — parity against the driver-object path
+    (points_in_regions over the same multi-loop polygon)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from s2geometry_d_spark.functions import kernels
+    from s2geometry_d_spark.operators.poly_index import (
+        build_polygon_index,
+        points_in_polygons_table,
+        polygons_dataframe_loops,
+    )
+    from s2geometry_d_spark.operators.spatial_join import points_in_regions
+    from s2geometry_d_spark.s2core.loops import Loop, Polygon
+
+    shell = Loop.make_regular(5.0, 40.0, 6.0, 12)
+    hole = Loop(list(reversed(Loop.make_regular(5.2, 40.3, 2.5, 8).vertices)))
+    annulus = Polygon([shell, hole], "annulus")
+
+    rng = np.random.default_rng(21)
+    rows = [
+        (i, float(5.0 + rng.uniform(-8, 8)), float(40.0 + rng.uniform(-8, 8)))
+        for i in range(4000)
+    ]
+    pts = spark.createDataFrame(rows, ["point_id", "lat", "lng"]).withColumn(
+        "cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng"))
+    )
+
+    idx = build_polygon_index(polygons_dataframe_loops(spark, [("annulus", annulus)]))
+    got = {
+        r["point_id"]
+        for r in points_in_polygons_table(pts, idx).select("point_id").collect()
+    }
+    want = {
+        r["point_id"]
+        for r in points_in_regions(pts, [("annulus", annulus)])
+        .select("point_id")
+        .collect()
+    }
+    assert got == want
+    # the hole is actually exercised: some sampled points fall inside it
+    from s2geometry_d_spark.s2core.regions import latlng_point
+
+    in_hole = [
+        i for i, la, ln in rows
+        if shell.contains_point(latlng_point(la, ln))
+        and not annulus.contains_point(latlng_point(la, ln))
+    ]
+    assert in_hole and not (set(in_hole) & got)
