@@ -35,6 +35,7 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.driver.memory", "40g")
     .config("spark.python.unix.domain.socket.enabled", "true")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     .config("spark.ui.enabled", "false")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
