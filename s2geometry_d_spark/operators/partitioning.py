@@ -85,3 +85,54 @@ def salt_hot_cells(
             F.pmod(F.hash(F.col(cell_col)), F.lit(n_salts)),
         ).otherwise(F.lit(0)),
     ).drop("is_hot")
+
+
+def salted_cell_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    level: int,
+    threshold: int,
+    n_salts: int = 8,
+    cell_col: str = "cell_id",
+    dim_cell_col: str = "parent_cell",
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join of a (possibly hot-keyed) fact table against a
+    per-cell dimension table — the north rule's explicit salting case.
+
+    Cells whose fact row count exceeds ``threshold`` are HOT: their fact
+    rows get a deterministic salt in [0, n_salts) and the matching dim rows
+    are REPLICATED across all salts, so the shuffle key (parent_cell, salt)
+    splits each hot cell across n_salts reducers; cold cells join on salt 0
+    with no replication.  Result rows are identical to the unsalted join
+    (asserted by tests/test_pipeline_resume.py::test_salted_cell_join_*)."""
+    hist = cell_histogram(fact, level, cell_col).filter(F.col("n_rows") > threshold)
+    hot = hist.select(F.col("_pc").alias("parent_cell")).withColumn(
+        "is_hot", F.lit(True)
+    )
+    f = (
+        fact.withColumn("parent_cell", kernels.parent_signed(F.col(cell_col), level))
+        .join(F.broadcast(hot), "parent_cell", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot").isNotNull(),
+                F.pmod(F.hash(F.col(cell_col)), F.lit(n_salts)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("is_hot")
+    )
+    d = dim.withColumnRenamed(dim_cell_col, "parent_cell") if dim_cell_col != "parent_cell" else dim
+    d = (
+        d.join(F.broadcast(hot), "parent_cell", "left")
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("is_hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(n_salts - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("salt", F.explode("_salts"))
+        .drop("_salts", "is_hot")
+    )
+    return f.join(d, ["parent_cell", "salt"], how).drop("salt")

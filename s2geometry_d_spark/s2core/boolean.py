@@ -471,6 +471,38 @@ def clip_polyline(vertices: list, poly, keep_inside: bool = True) -> list[list[t
     return chains
 
 
+def loop_disc_contains(loop_vs, p) -> bool:
+    """Containment of ``p`` in the DISC bounded by a loop — the side with
+    the smaller area (interior-left for CCW shells, interior-RIGHT for CW
+    holes) — the curve containment that defines nesting depth
+    (s2polygon.d:129+ / s2loop.d:346-369)."""
+    edges = [
+        (loop_vs[i], loop_vs[(i + 1) % len(loop_vs)]) for i in range(len(loop_vs))
+    ]
+    inside_left = ILRegion(edges).contains_point(p)
+    return inside_left if loops_signed_area([loop_vs]) > 0 else not inside_left
+
+
+def assign_loop_depths(loops) -> list[int]:
+    """Nesting depth per result loop (shell 0, hole 1, island 2, ...):
+    depth = number of OTHER loops whose disc properly contains this loop —
+    tested at one edge midpoint (disjoint result curves make one probe
+    sufficient; a midpoint is never a shared crossing vertex).  The depths
+    make overlay results directly encodable in the reference's polygon
+    wire format (encode_polygon depths / has_holes)."""
+    depths = []
+    for i, vs in enumerate(loops):
+        p = _arc_midpoint(vs[0], vs[1])
+        depths.append(
+            sum(
+                1
+                for j, other in enumerate(loops)
+                if j != i and loop_disc_contains(other, p)
+            )
+        )
+    return depths
+
+
 def loops_signed_area(loops) -> float:
     """Signed area of an overlay result (shells positive, holes negative):
     fan of signed triangle excesses per loop — exact for results smaller

@@ -310,3 +310,33 @@ def test_holes_distributed_operator(spark):
                 for v in loop:
                     want.append((k, round(v[0], 9), round(v[1], 9), round(v[2], 9)))
         assert got == sorted(want), op
+
+
+def test_overlay_result_loop_depths():
+    """Nesting depths of overlay results (s2polygon.d:129+ semantics):
+    shell 0, hole 1, island-in-hole 2."""
+    polys = dict((k, (a, b)) for k, a, b in _holes_fixture_polys())
+    # pair 4: disc contains the annulus -> result IS the annulus: [0, 1]
+    a, b = polys[4]
+    inter = B.overlay(a, b, "intersection")
+    d = sorted(B.assign_loop_depths(inter))
+    assert d == [0, 1], d
+    # pair 2: ring minus interior disc -> shell + two holes: [0, 1, 1]
+    a, b = polys[2]
+    diff = B.overlay(a, b, "difference")
+    assert sorted(B.assign_loop_depths(diff)) == [0, 1, 1]
+    # pair 3: disc fully inside the hole; union -> shell, hole, ISLAND: [0, 1, 2]
+    a, b = polys[3]
+    uni = B.overlay(a, b, "union")
+    assert sorted(B.assign_loop_depths(uni)) == [0, 1, 2]
+    # depths feed the reference polygon wire format directly
+    from s2geometry_d_spark.s2core import encoding
+    from s2geometry_d_spark.s2core.loops import Loop
+
+    depths = B.assign_loop_depths(uni)
+    data = encoding.encode_polygon(
+        uni, [Loop(vs).origin_inside for vs in uni], depths=depths
+    )
+    (loops, _), _ = encoding.decode_polygon(data)
+    assert sorted(lp[2] for lp in loops) == [0, 1, 2]
+    assert data[2] == 1  # has_holes

@@ -108,3 +108,68 @@ def test_loop_golden_header():
     assert oi == 0 and depth == 3
     # trailing rect: version byte + 4 doubles
     assert len(data) == pos + 5 + 33
+
+
+def test_encoded_polygon_column_drives_index_build(spark):
+    """Interop end-to-end: polygons arrive as a BINARY column in the
+    reference wire format, are decoded inside the distributed index build,
+    and the resulting index-table PIP matches the direct path."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from s2geometry_d_spark.functions import kernels
+    from s2geometry_d_spark.operators.poly_index import (
+        build_polygon_index,
+        points_in_polygons_table,
+        polygons_dataframe_loops,
+    )
+    from s2geometry_d_spark.s2core.loops import Polygon
+
+    polys = []
+    for k in range(4):
+        shell = Loop.make_regular(10.0 * k - 15.0, 25.0 * k - 40.0, 5.0, 10)
+        polys.append((f"p{k}", Polygon([shell], f"p{k}")))
+
+    # ship as wire-format bytes, decode back into the loops DataFrame shape
+    enc_rows = [
+        (
+            rid,
+            encoding.encode_polygon(
+                [lp.vertices for lp in poly.loops],
+                [lp.origin_inside for lp in poly.loops],
+            ),
+        )
+        for rid, poly in polys
+    ]
+    enc_df = spark.createDataFrame(enc_rows, ["poly_id", "blob"])
+
+    @F.udf(T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))))
+    def decode_loops(blob):
+        (loops, _), _ = encoding.decode_polygon(bytes(blob))
+        return [
+            [[float(c) for c in v] for v in verts] for verts, _, _, _ in loops
+        ]
+
+    decoded = enc_df.select("poly_id", decode_loops("blob").alias("loops"))
+    idx_from_bytes = build_polygon_index(decoded)
+
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    rows = [
+        (i, float(np.degrees(np.arcsin(rng.uniform(-0.8, 0.8)))), float(rng.uniform(-90, 90)))
+        for i in range(3000)
+    ]
+    pts = spark.createDataFrame(rows, ["point_id", "lat", "lng"]).withColumn(
+        "cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng"))
+    )
+    got = {
+        (r["poly_id"], r["point_id"])
+        for r in points_in_polygons_table(pts, idx_from_bytes).collect()
+    }
+    direct = build_polygon_index(polygons_dataframe_loops(spark, polys))
+    want = {
+        (r["poly_id"], r["point_id"])
+        for r in points_in_polygons_table(pts, direct).collect()
+    }
+    assert got == want and want

@@ -102,3 +102,59 @@ class TestPartitioning:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_salted_cell_join_matches_unsalted(spark):
+    """A pathologically hot cell (most of the fact in one level-2 cell):
+    the salted join must return the identical row set as the plain join
+    while splitting the hot key across n_salts shuffle groups."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from s2geometry_d_spark.functions import kernels
+    from s2geometry_d_spark.operators.partitioning import salted_cell_join
+
+    rng = np.random.default_rng(4)
+    rows = []
+    # 80% of points inside a ~1-degree blob (one hot coarse cell), the rest global
+    for i in range(8000):
+        rows.append((i, float(20 + rng.uniform(-0.5, 0.5)), float(30 + rng.uniform(-0.5, 0.5))))
+    for i in range(8000, 10000):
+        rows.append((i, float(np.degrees(np.arcsin(rng.uniform(-1, 1)))), float(rng.uniform(-180, 180))))
+    fact = spark.createDataFrame(rows, ["point_id", "lat", "lng"]).withColumn(
+        "cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng"))
+    )
+    level = 2
+    dim = (
+        fact.select(kernels.parent_signed(F.col("cell_id"), level).alias("parent_cell"))
+        .distinct()
+        .withColumn("payload", F.col("parent_cell") % 97)
+    )
+
+    salted = salted_cell_join(fact, dim, level=level, threshold=1000, n_salts=8)
+    plain = fact.withColumn(
+        "parent_cell", kernels.parent_signed(F.col("cell_id"), level)
+    ).join(dim, "parent_cell")
+    key = lambda df: sorted(
+        (r["point_id"], r["parent_cell"], r["payload"]) for r in df.collect()
+    )
+    assert key(salted) == key(plain)
+
+    # the salting actually splits the hot key: max (parent_cell, salt) group
+    # is several times smaller than the unsalted hot cell
+    from s2geometry_d_spark.operators.partitioning import cell_histogram, salt_hot_cells
+
+    hot_max = (
+        cell_histogram(fact, level).agg(F.max("n_rows")).collect()[0][0]
+    )
+    salted_max = (
+        salt_hot_cells(fact, level=level, threshold=1000, n_salts=8)
+        .groupBy("parent_cell", "salt")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    # the blob straddles a level-2 cell boundary in this fixture; the
+    # hottest cell still holds >half the blob
+    assert hot_max >= 5000
+    assert salted_max <= hot_max / 4  # 8 salts, allow hash imbalance
