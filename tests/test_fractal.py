@@ -173,3 +173,30 @@ def test_fractal_crossing_flip(spark):
                 want.add((tid, i))
     assert want, "no crossings with the fractal boundary — fixture broken"
     assert got == want
+
+
+def test_fractal_pip_index_table_flip(spark):
+    """Fractal boundary through the INDEX-TABLE path: the distributed
+    clipped-edge rows (poly_index) must agree with the scalar parity walk
+    even when edge lengths span 4^3 scales and boundary cells are dense."""
+    from s2geometry_d_spark.operators.poly_index import (
+        build_polygon_index,
+        points_in_polygons_table,
+        polygons_dataframe_loops,
+    )
+
+    regions = [(f"f{dim}", _fractal_poly(dim, max_level=3)) for dim in (1.0, 1.26)]
+    idx = build_polygon_index(polygons_dataframe_loops(spark, regions))
+    pts = _probe_points(spark, n=2000, seed=13)
+    got = {
+        (r["poly_id"], r["point_id"])
+        for r in points_in_polygons_table(pts, idx).collect()
+    }
+    rows = pts.select("point_id", "lat", "lng").collect()
+    want = set()
+    for rid, poly in regions:
+        for row in rows:
+            if poly.contains_point(latlng_point(row.lat, row.lng)):
+                want.add((rid, row.point_id))
+    assert want, "no fractal containments"
+    assert got == want
