@@ -267,3 +267,44 @@ class TestCoveringQualityStats:
         med = statistics.median(ratios)
         assert 1.3 <= med <= 2.6, f"median covering/area ratio {med}"
         assert max(ratios) <= 6.0, f"worst ratio {max(ratios)}"
+
+
+def test_covering_udf_matches_driver_coverer(spark):
+    """covering(region_spec) as a COLUMN kernel (SURVEY §2.11's last UDF):
+    a table of region specs covers in parallel; every row must equal the
+    driver-side RegionCoverer on the same region, in the same order."""
+    import pyspark.sql.functions as F
+
+    from s2geometry_d_spark.functions.covering import covering_cells
+    from s2geometry_d_spark.s2core.cellid import CellId
+    from s2geometry_d_spark.s2core.coverer import CovererOptions, RegionCoverer
+    from s2geometry_d_spark.s2core.regions import Cap, LatLngRect
+
+    specs = [
+        ("c1", "cap", [48.85, 2.35, 5.0], 16),
+        ("c2", "cap", [-33.86, 151.21, 0.5], 8),
+        ("c3", "cap", [89.5, 0.0, 2.0], 16),              # polar
+        ("r1", "rect", [-20.0, 25.0, 160.0, -160.0], 16),  # dateline wrap
+        ("r2", "rect", [10.0, 12.0, 30.0, 34.0], 12),
+        ("x1", "unknown", [0.0], 8),                       # unknown kind -> []
+    ]
+    df = spark.createDataFrame(specs, ["region_id", "kind", "params", "max_cells"])
+    got = {
+        r["region_id"]: list(r["cov"])
+        for r in df.withColumn(
+            "cov", covering_cells(F.col("kind"), F.col("params"), F.col("max_cells"))
+        ).collect()
+    }
+    import numpy as np
+
+    for rid, kind, p, mc in specs:
+        if kind == "cap":
+            region = Cap.from_latlng_radius(*p)
+        elif kind == "rect":
+            region = LatLngRect.from_degrees(*p)
+        else:
+            assert got[rid] == []
+            continue
+        cov = RegionCoverer(CovererOptions(max_cells=mc)).get_covering(region)
+        want = [int(np.int64(np.uint64(c) ^ np.uint64(1 << 63))) for c in cov]
+        assert got[rid] == want, rid
