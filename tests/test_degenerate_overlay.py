@@ -195,3 +195,55 @@ def test_degenerate_distributed_operator(spark):
             for v in loop
         )
         assert got == want, op
+
+
+def test_random_grid_aligned_pairs_membership():
+    """Randomized sweep: axis-aligned squares snapped to a coarse grid
+    collide in every degenerate way (shared edges, shared corners, partial
+    edge overlap along the equator line, containment).  Membership of every
+    overlay result must equal the boolean of the input memberships at
+    sampled probes — the walk-independent check."""
+    rnd = random.Random(42)
+    for trial in range(25):
+        # grid-snapped integer-degree squares => frequent exact coincidences
+        la0 = rnd.randrange(-3, 3) * 5
+        lo0 = rnd.randrange(-3, 3) * 5
+        a = _sq((la0, la0 + rnd.randrange(1, 3) * 5), (lo0, lo0 + rnd.randrange(1, 3) * 5), "A")
+        lb0 = rnd.randrange(-3, 3) * 5
+        mo0 = rnd.randrange(-3, 3) * 5
+        b = _sq((lb0, lb0 + rnd.randrange(1, 3) * 5), (mo0, mo0 + rnd.randrange(1, 3) * 5), "B")
+        ra = B.ILRegion.from_loops([lp.vertices for lp in a.loops])
+        rb = B.ILRegion.from_loops([lp.vertices for lp in b.loops])
+        for op, fn in (
+            ("intersection", lambda x, y: x and y),
+            ("union", lambda x, y: x or y),
+            ("difference", lambda x, y: x and not y),
+        ):
+            loops = B.overlay_degenerate(a, b, op)
+            rr = B.ILRegion.from_loops(loops) if loops else None
+            for _ in range(60):
+                p = latlng_point(rnd.uniform(-25, 25), rnd.uniform(-25, 25))
+                want = fn(ra.contains_point(p), rb.contains_point(p))
+                got = rr.contains_point(p) if rr else False
+                assert got == want, (trial, op, la0, lo0, lb0, mo0)
+
+
+def test_union_many_with_annulus_operand():
+    """N-way union folding multi-loop intermediates: [annulus, overlapping
+    disc, disjoint disc] — the fold's intermediate results carry holes and
+    the final area follows inclusion-exclusion."""
+    from s2geometry_d_spark.s2core.loops import Loop, Polygon
+
+    shell = Loop.make_regular(0.0, 50.0, 8.0, 12)
+    hole = Loop(list(reversed(Loop.make_regular(0.2, 50.3, 3.0, 8).vertices)))
+    annulus = Polygon([shell, hole], "ann")
+    overlapping = Polygon([Loop.make_regular(6.0, 50.0, 4.0, 9)], "d1")
+    disjoint = Polygon([Loop.make_regular(-40.0, -120.0, 3.0, 9)], "d2")
+
+    u = B.union_many([annulus, overlapping, disjoint])
+    a_pair = B.loops_signed_area(B.overlay(annulus, overlapping, "union"))
+    want = a_pair + B.loops_signed_area([lp.vertices for lp in disjoint.loops])
+    got = B._signed_area_from_edges(
+        [(vs[i], vs[(i + 1) % len(vs)]) for vs in u for i in range(len(vs))]
+    )
+    assert abs(got - want) < 1e-12
