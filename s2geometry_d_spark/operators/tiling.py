@@ -289,6 +289,14 @@ def tile_containment_check(
             F.collect_set("_lvl").alias("_lvls"),
         )
     )
+    # materialize ONCE: three consumers hang off this aggregate, and Spark's
+    # ReuseExchange does not deduplicate the identical subtrees here
+    # (verified round 4: the plan carried 6 copies of the tile_cells kernel;
+    # persist() races within a single action).  localCheckpoint truncates
+    # the lineage so every branch reads the cached blocks — on a cluster a
+    # verification gate of this shape would land in a table/snapshot anyway
+    # (streaming/checkpoint.py's run_stage pattern).
+    per_tile = per_tile.localCheckpoint(eager=True)
     attrs = images.select(id_col, lat_col, lng_col, extent_col)
     t = _tile_bounds(per_tile.join(attrs, id_col), lat_col, lng_col, extent_col)
 
