@@ -508,9 +508,14 @@ def knn_edges_to_edges(
     initial_radius_deg: float = 1.0,
     max_rounds: int = 6,
     registered_df: DataFrame | None = None,
+    max_distance_deg: float | None = None,
+    max_error_deg: float = 0.0,
 ) -> DataFrame:
     """k nearest table edges to each QUERY EDGE — the reference's EDGE
     target kind (s2closest_edge_query.d:199-272 / s2min_distance_targets.d).
+    ``max_distance_deg`` / ``max_error_deg`` carry the same option
+    semantics as :func:`knn_edges_join` (distance limit makes <k a complete
+    answer; max_error widens ring acceptance for early exit).
 
     Ring expansion over the BUFFERED-SEGMENT region (the strip of points
     within ring distance of the query edge — covered exactly like the
@@ -529,6 +534,7 @@ def knn_edges_to_edges(
 
     spark = edges_df.sparkSession
     registered = registered_df if registered_df is not None else register_edges(edges_df)
+    max_r = 170.0 if max_distance_deg is None else min(max_distance_deg, 170.0)
 
     geom = {}
     for qid, (la, ln), (lb, lnb) in query_edges:
@@ -557,9 +563,18 @@ def knn_edges_to_edges(
         regions = []
         qrows = []
         for qid, (c, d, pl) in pending.items():
-            ring = min(radius[qid], 170.0)
+            ring = min(radius[qid], max_r)
             regions.append((qid, BufferedRegion(pl, math.radians(ring))))
-            qrows.append((qid, *c, *d, chord2_from_radians(math.radians(ring))))
+            qrows.append(
+                (
+                    qid,
+                    *c,
+                    *d,
+                    chord2_from_radians(
+                        math.radians(min(radius[qid] + max_error_deg, max_r))
+                    ),
+                )
+            )
         coverings = compute_coverings(regions, max_cells=24)
         cand = candidate_match_kernel(
             registered, coverings, cell_col="ecell", two_way=True
@@ -585,11 +600,17 @@ def knn_edges_to_edges(
         for r in rows:
             by_q.setdefault(r["query_id"], []).append(r)
         for qid in list(pending):
-            if len(by_q.get(qid, [])) >= k:
-                done_rows.extend(by_q[qid])
+            got = by_q.get(qid, [])
+            if len(got) >= k:
+                done_rows.extend(got)
                 del pending[qid]
-            elif radius[qid] >= 170.0:
-                brute[qid] = pending.pop(qid)
+            elif radius[qid] >= max_r:
+                if max_distance_deg is not None:
+                    # a distance limit makes <k results a complete answer
+                    done_rows.extend(got)
+                    del pending[qid]
+                else:
+                    brute[qid] = pending.pop(qid)
             else:
                 radius[qid] = radius[qid] * 2.0
 
@@ -609,6 +630,11 @@ def knn_edges_to_edges(
             F.broadcast(spark.createDataFrame([(q,) for q in pending], ["query_id"]))
         )
         scored = _score(cand, qdf)
+        if max_distance_deg is not None:
+            scored = scored.filter(
+                F.col("dist2")
+                <= F.lit(chord2_from_radians(math.radians(max_distance_deg)))
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist2").asc(), F.col(edge_id_col).asc()
         )

@@ -266,3 +266,68 @@ def test_include_interiors_table_path_parity(spark, edges):
         for r in rows
     )
     assert key(table_res) == key(driver_res)
+
+
+def test_edge_targets_max_distance_and_error(spark, edges):
+    """Options parity on the EDGE-target query (s2closest_edge_query.d
+    options over s2min_distance_targets.d): distance-limited results are
+    complete-but-short; max_error keeps the approximation contract."""
+    targets = [
+        ("t1", (10.0, 20.0), (12.0, 24.0)),
+        ("t_far", (-70.0, -120.0), (-69.0, -119.0)),
+    ]
+    r_deg = 1.5
+    r2 = chord2_from_radians(math.radians(r_deg))
+    limited = knn.knn_edges_to_edges(
+        edges, targets, k=6, max_distance_deg=r_deg
+    ).collect()
+    from s2geometry_d_spark.s2core.measures import edge_pair_min_dist2
+    from s2geometry_d_spark.s2core.regions import latlng_point
+
+    table = edges.select("edge_id", "alat", "alng", "blat", "blng").collect()
+    want = {}
+    for tid, p1, p2 in targets:
+        c, d = latlng_point(*p1), latlng_point(*p2)
+        hits = sorted(
+            (
+                edge_pair_min_dist2(
+                    latlng_point(r["alat"], r["alng"]),
+                    latlng_point(r["blat"], r["blng"]),
+                    c,
+                    d,
+                ),
+                r["edge_id"],
+            )
+            for r in table
+        )
+        want[tid] = [e for dd, e in hits if dd <= r2][:6]
+    got = {}
+    for r in sorted(limited, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["edge_id"])
+        assert r["dist2"] <= r2 + 1e-15
+    assert got == {t: v for t, v in want.items() if v}
+
+    # max_error: reported i-th within max_error of the true i-th
+    approx = knn.knn_edges_to_edges(
+        edges, targets[:1], k=6, max_error_deg=1.0
+    ).collect()
+    true6 = [dd for dd, _ in sorted(
+        (
+            edge_pair_min_dist2(
+                latlng_point(r["alat"], r["alng"]),
+                latlng_point(r["blat"], r["blng"]),
+                latlng_point(*targets[0][1]),
+                latlng_point(*targets[0][2]),
+            ),
+            r["edge_id"],
+        )
+        for r in table
+    )][:6]
+
+    def ang(d2):
+        return math.degrees(2.0 * math.asin(min(1.0, 0.5 * math.sqrt(max(d2, 0.0)))))
+
+    by_rank = {r["rank"]: r["dist2"] for r in approx if r["query_id"] == "t1"}
+    assert len(by_rank) == 6
+    for rank in range(1, 7):
+        assert ang(by_rank[rank]) <= ang(true6[rank - 1]) + 1.0 + 1e-9
