@@ -43,6 +43,7 @@ def nearest_polyline_join(
     n_polylines_hint: int | None = None,
     registered_df: DataFrame | None = None,
     max_distance_deg: float | None = None,
+    max_error_deg: float = 0.0,
 ) -> DataFrame:
     """k nearest POLYLINES to each query point.
 
@@ -53,7 +54,10 @@ def nearest_polyline_join(
     ``max_distance_deg`` bounds results to that distance (the reference's
     options parity, as in knn_edges_join): fewer than k polylines at the
     limit is a complete answer; within-distance-of-any-polyline is the
-    k=inf special case.
+    k=inf special case.  ``max_error_deg`` widens the ring-acceptance
+    radius (early exit): every edge within the ring is a candidate, so an
+    accepted distance in the (ring, ring+max_error] band errs by at most
+    max_error — the contract lifts through the per-polyline min.
     """
     from ..functions import edgedist
 
@@ -106,7 +110,13 @@ def nearest_polyline_join(
             ["query_id", edge_id_col]
         )
         qrows = [
-            (qid, *_xyz(lat, lng), chord2_from_radians(math.radians(min(radius[qid], max_r))))
+            (
+                qid,
+                *_xyz(lat, lng),
+                chord2_from_radians(
+                    math.radians(min(radius[qid] + max_error_deg, max_r))
+                ),
+            )
             for qid, (lat, lng) in pending.items()
         ]
         qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz", "r2"])

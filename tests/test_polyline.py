@@ -126,3 +126,57 @@ def test_polyline_intersects():
     assert crossing.intersects(a)
     assert not a.intersects(parallel)
     assert a.intersects(shared_vertex)  # touch at a shared endpoint
+
+
+def test_nearest_polyline_max_error_tolerance(spark):
+    """max_error on the polyline-target query: every reported i-th distance
+    within max_error of the true i-th (the per-polyline min lifts the edge
+    contract), checked against a brute-force min over all edges."""
+    import math
+
+    import numpy as np
+    from s2geometry_d_spark.operators.polyline_join import nearest_polyline_join
+    from s2geometry_d_spark.s2core.measures import point_edge_distance2
+    from s2geometry_d_spark.s2core.regions import latlng_point
+
+    rng = np.random.default_rng(17)
+    rows = []
+    eid = 0
+    for pl in range(20):
+        lat0 = float(rng.uniform(-30, 30))
+        lng0 = float(rng.uniform(-60, 60))
+        lats = lat0 + np.cumsum(rng.uniform(-0.5, 0.5, 6))
+        lngs = lng0 + np.cumsum(rng.uniform(-0.5, 0.5, 6))
+        for i in range(5):
+            rows.append((pl, eid, float(lats[i]), float(lngs[i]), float(lats[i + 1]), float(lngs[i + 1])))
+            eid += 1
+    edges = spark.createDataFrame(
+        rows, ["polyline_id", "edge_id", "alat", "alng", "blat", "blng"]
+    )
+    queries = [("q1", 5.0, 5.0), ("q2", -10.0, 20.0)]
+    k = 5
+    max_err = 3.0
+    got = nearest_polyline_join(
+        edges, queries, k=k, n_polylines_hint=20, max_error_deg=max_err
+    ).collect()
+
+    def ang(d2):
+        return math.degrees(2.0 * math.asin(min(1.0, 0.5 * math.sqrt(max(d2, 0.0)))))
+
+    for qid, qla, qln in queries:
+        p = latlng_point(qla, qln)
+        true = sorted(
+            min(
+                point_edge_distance2(
+                    p, latlng_point(r[2], r[3]), latlng_point(r[4], r[5])
+                )
+                for r in rows
+                if r[0] == pl
+            )
+            for pl in range(20)
+        )[:k]
+        mine = sorted(r["dist2"] for r in got if r["query_id"] == qid)
+        assert len(mine) == k
+        for g, t in zip(mine, true):
+            assert ang(g) <= ang(t) + max_err + 1e-9
+            assert ang(g) >= ang(t) - 1e-9
