@@ -121,6 +121,14 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # incremental per-query evidence on stderr (round-4 lesson: the
+        # final JSON line alone is a single point of failure if teardown
+        # garbles the stream — BENCH_r04 was lost exactly that way)
+        print(
+            json.dumps({"query": name, "sec": timings[name], "rows": rows[name]}),
+            file=sys.stderr,
+            flush=True,
+        )
 
     # spatial throughput: input rows driven through the three join families
     import duckdb
@@ -147,8 +155,30 @@ def main() -> None:
         "spatial_secs": round(spatial_secs, 3),
         "spatial_rows_in": spatial_rows_in,
     }
-    print(json.dumps(out))
-    spark.stop()
+    # write the artifact to disk BEFORE printing / stopping: a garbled
+    # teardown (pyspark daemon BrokenPipeError spam ate the round-4 driver
+    # artifact) can no longer zero the round's bench evidence
+    line = json.dumps(out)
+    try:
+        os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json"), "w"
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    # stdout is BLOCK-buffered when piped: without an explicit flush the
+    # JSON line sits in the buffer until interpreter exit and flushes
+    # interleaved with worker-shutdown stderr spam.  Flush NOW, atomically.
+    print(line, flush=True)
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    # skip atexit/py4j teardown that can raise after the work is done
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -437,13 +437,23 @@ def image_tile_assignment(
     )
     tiles = tiles.join(F.broadcast(lookup), extent_col)
 
-    assigned = tiles.withColumn(
-        "cells",
-        tile_cells(F.col("lat0"), F.col("lat1"), F.col("lng0"), F.col("lng1"), F.col("level")),
-    )
+    # explode the UDF call INLINE: materializing it via withColumn first
+    # lets InferFiltersFromGenerate slip a size()>0 Filter between the UDF
+    # and the Generate, and UDF extraction then evaluates the Arrow kernel
+    # TWICE per row (the round-3/4 doubled-kernel bug class; the rule skips
+    # UDF-typed generator inputs, so this form stays single-eval — same
+    # pattern as spatial_join.py's covering explode)
     return (
-        assigned.select(
-            F.col(id_col), "tile_x", "tile_y", "level", F.explode("cells").alias("cell_id")
+        tiles.select(
+            F.col(id_col),
+            "tile_x",
+            "tile_y",
+            "level",
+            F.explode(
+                tile_cells(
+                    F.col("lat0"), F.col("lat1"), F.col("lng0"), F.col("lng1"), F.col("level")
+                )
+            ).alias("cell_id"),
         )
         .dropDuplicates([id_col, "tile_x", "tile_y", "cell_id"])
     )

@@ -204,3 +204,16 @@ def test_bucketed_index_join_has_no_exchange(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_tile_assignment_evaluates_kernel_once(spark, entrymod):
+    """Round-4 verdict finding #1: materializing tile_cells via withColumn
+    before the explode let InferFiltersFromGenerate slip a size-filter
+    between the Arrow kernel and the Generate, so the kernel evaluated
+    TWICE per tile row (same bug class as the round-3 covering-match
+    doubling).  Both tiling queries must evaluate ``tile_cells`` exactly
+    once."""
+    for q in ("tile_assignment", "tile_assignment_stats"):
+        df = entrymod.queries()[q](spark, SF_DIR)
+        plan = _plan(df)
+        assert plan.count("tile_cells(") == 1, (q, plan)
