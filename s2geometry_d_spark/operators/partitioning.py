@@ -105,7 +105,23 @@ def salted_cell_join(
     are REPLICATED across all salts, so the shuffle key (parent_cell, salt)
     splits each hot cell across n_salts reducers; cold cells join on salt 0
     with no replication.  Result rows are identical to the unsalted join
-    (asserted by tests/test_pipeline_resume.py::test_salted_cell_join_*)."""
+    (asserted by tests/test_pipeline_resume.py::test_salted_cell_join_*).
+
+    ``how`` is restricted to inner/left-flavored joins: under right/full
+    outer joins the dim rows replicated across n_salts salts would each
+    surface as a duplicate unmatched output row, breaking the
+    unsalted-join equivalence (ADVICE round-4)."""
+    allowed = {
+        "inner", "left", "leftouter", "left_outer",
+        "left_semi", "leftsemi", "left_anti", "leftanti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_cell_join: how={how!r} unsupported — hot-cell dim rows "
+            "are replicated across salts, so right/full outer joins would "
+            "emit n_salts duplicate unmatched dim rows; use inner or a "
+            "left-flavored join"
+        )
     hist = cell_histogram(fact, level, cell_col).filter(F.col("n_rows") > threshold)
     hot = hist.select(F.col("_pc").alias("parent_cell")).withColumn(
         "is_hot", F.lit(True)

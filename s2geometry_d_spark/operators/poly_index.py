@@ -179,6 +179,7 @@ def points_in_polygons_table(
     lat_col: str = "lat",
     lng_col: str = "lng",
     cell_col: str = "cell_id",
+    validate_level: bool = False,
 ) -> DataFrame:
     """PIP join against the index TABLE: prefix equi-join at ``join_level``
     (the coarsest covering level; compute once when building the index) +
@@ -186,19 +187,29 @@ def points_in_polygons_table(
     parity.  Returns points columns + poly_id.
 
     ``join_level`` defaults to the index's own min(cov_level) (one tiny
-    aggregate).  A caller-supplied value FINER than the coarsest covering
-    cell would silently drop that cell's candidates (no level-``join_level``
-    ancestor exists for a coarser cell), so it is validated, not trusted
-    (ADVICE round-3)."""
-    min_cov = index_df.agg(F.min("cov_level")).collect()[0][0]
-    if join_level is None:
-        join_level = int(min_cov)
-    elif join_level > min_cov:
-        raise ValueError(
-            f"join_level={join_level} is finer than the coarsest covering "
-            f"cell (level {min_cov}); candidates under that cell would be "
-            "silently dropped — pass a level <= min(cov_level) or omit it"
-        )
+    aggregate, memoized on the DataFrame object so repeated PIP calls
+    against the same index don't re-execute the index build as a side
+    effect — ADVICE round-4).  A caller-supplied value FINER than the
+    coarsest covering cell would silently drop that cell's candidates (no
+    level-``join_level`` ancestor exists for a coarser cell); pass
+    ``validate_level=True`` to pay one aggregate for that check (ADVICE
+    round-3 validation, now opt-in for explicit levels)."""
+    if join_level is None or validate_level:
+        min_cov = getattr(index_df, "_s2_min_cov_level", None)
+        if min_cov is None:
+            min_cov = int(index_df.agg(F.min("cov_level")).collect()[0][0])
+            try:
+                index_df._s2_min_cov_level = min_cov
+            except AttributeError:
+                pass
+        if join_level is None:
+            join_level = min_cov
+        elif join_level > min_cov:
+            raise ValueError(
+                f"join_level={join_level} is finer than the coarsest covering "
+                f"cell (level {min_cov}); candidates under that cell would be "
+                "silently dropped — pass a level <= min(cov_level) or omit it"
+            )
     keyed_idx = index_df.withColumn(
         "join_key", kernels.parent_signed(F.col("cell_signed"), join_level)
     )

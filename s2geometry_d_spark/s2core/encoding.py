@@ -23,6 +23,11 @@ import numpy as np
 CELL_UNION_ENCODING_VERSION = 1
 POLYLINE_ENCODING_VERSION = 1
 DECODE_MAX_NUM_CELLS = 1_000_000
+# analogous sanity caps for loop/polygon decode (the reference caps cells
+# but trusts loop counts; a cap here keeps a hostile 4-byte count field
+# from driving a giant allocation before the length check)
+DECODE_MAX_NUM_VERTICES = 50_000_000
+DECODE_MAX_NUM_LOOPS = 10_000_000
 
 
 def encode_cell_union(cell_ids) -> bytes:
@@ -61,6 +66,8 @@ def encode_rect(lat_lo: float, lat_hi: float, lng_lo: float, lng_hi: float) -> b
 
 
 def decode_rect(data: bytes, offset: int = 0):
+    if len(data) < offset + 33:
+        raise ValueError("buffer too short for rect (version + 4 f64)")
     version = data[offset]
     if version > LOOP_ENCODING_VERSION:
         raise ValueError(f"unsupported rect encoding version {version}")
@@ -89,12 +96,23 @@ def encode_loop(vertices, origin_inside: bool, depth: int = 0, bound=None) -> by
 
 
 def decode_loop(data: bytes, offset: int = 0):
-    """Returns ((vertices, origin_inside, depth, bound), next_offset)."""
+    """Returns ((vertices, origin_inside, depth, bound), next_offset).
+
+    Short buffers raise ValueError (the module-docstring guard promise,
+    matching decode_cell_union/decode_polyline); the vertex count is capped
+    so a hostile count field cannot drive a giant allocation."""
+    if len(data) < offset + 5:
+        raise ValueError("buffer too short for loop version + count")
     version = data[offset]
     if version > LOOP_ENCODING_VERSION:
         raise ValueError(f"unsupported loop encoding version {version}")
     (count,) = struct.unpack_from("<I", data, offset + 1)
+    if count > DECODE_MAX_NUM_VERTICES:
+        raise ValueError(f"loop vertex count {count} exceeds decode cap")
     pos = offset + 5
+    # vertices + origin/depth trailer must fit before any allocation
+    if len(data) < pos + 24 * count + 5:
+        raise ValueError("buffer truncated inside loop vertices")
     verts = (
         np.frombuffer(data, dtype="<f8", count=3 * count, offset=pos)
         .astype(np.float64)
@@ -112,20 +130,29 @@ def encode_polygon(loops, origin_inside_flags, depths=None) -> bytes:
     u8 owns_loops (always 1, compatibility), u8 has_holes, u32 num_loops,
     loop encodings, rect bound.  ``depths`` defaults to all-shells (0);
     a loop with odd depth is a hole (s2loop.d isHole semantics)."""
+    from .rectbounder import chain_rect_bound, rect_union
+
+    loops = list(loops)
+    origin_inside_flags = list(origin_inside_flags)
     depths = list(depths) if depths is not None else [0] * len(loops)
+    if not (len(loops) == len(origin_inside_flags) == len(depths)):
+        raise ValueError(
+            f"encode_polygon: mismatched lengths — {len(loops)} loops, "
+            f"{len(origin_inside_flags)} origin flags, {len(depths)} depths"
+        )
     has_holes = any(d & 1 for d in depths)
     body = struct.pack(
         "<BBBI", POLYGON_ENCODING_VERSION, 1, int(has_holes), len(loops)
     )
     bounds = []
     for vs, oi, d in zip(loops, origin_inside_flags, depths):
-        body += encode_loop(vs, oi, d)
-        from .rectbounder import chain_rect_bound
-
-        r = chain_rect_bound([tuple(x) for x in np.asarray(vs).reshape(-1, 3)], closed=True)
+        # compute each loop's bound ONCE and hand it to encode_loop (it
+        # would otherwise re-derive the same bound internally)
+        r = chain_rect_bound(
+            [tuple(x) for x in np.asarray(vs).reshape(-1, 3)], closed=True
+        )
+        body += encode_loop(vs, oi, d, bound=(r.lat_lo, r.lat_hi, r.lng.lo, r.lng.hi))
         bounds.append(r)
-    from .rectbounder import rect_union
-
     total = bounds[0]
     for b in bounds[1:]:
         total = rect_union(total, b)
@@ -135,10 +162,14 @@ def encode_polygon(loops, origin_inside_flags, depths=None) -> bytes:
 def decode_polygon(data: bytes, offset: int = 0):
     """Returns ((loops, bound), next_offset) with loops =
     [(vertices, origin_inside, depth, loop_bound), ...]."""
+    if len(data) < offset + 7:
+        raise ValueError("buffer too short for polygon header")
     version = data[offset]
     if version > POLYGON_ENCODING_VERSION:
         raise ValueError(f"unsupported polygon encoding version {version}")
     (num_loops,) = struct.unpack_from("<I", data, offset + 3)
+    if num_loops > DECODE_MAX_NUM_LOOPS:
+        raise ValueError(f"loop count {num_loops} exceeds decode cap")
     pos = offset + 7
     loops = []
     for _ in range(num_loops):

@@ -173,3 +173,36 @@ def test_encoded_polygon_column_drives_index_build(spark):
         for r in points_in_polygons_table(pts, direct).collect()
     }
     assert got == want and want
+
+
+def test_loop_polygon_decode_short_buffer_guards():
+    """ADVICE round-4: truncated buffers must raise ValueError (not
+    struct.error / numpy ValueError from deep inside), and hostile count
+    fields must hit the decode caps before any allocation."""
+    shell = Loop.make_regular(5.0, 40.0, 6.0, 10)
+    data = encoding.encode_polygon([shell.vertices], [shell.origin_inside])
+    # truncate at every prefix boundary class: header, vertices, trailer, bound
+    for cut in (0, 3, 6, 20, len(data) - 40, len(data) - 1):
+        with pytest.raises(ValueError):
+            encoding.decode_polygon(data[:cut])
+    lp_bytes = encoding.encode_loop(shell.vertices, shell.origin_inside)
+    for cut in (0, 3, 10, len(lp_bytes) - 30, len(lp_bytes) - 1):
+        with pytest.raises(ValueError):
+            encoding.decode_loop(lp_bytes[:cut])
+    with pytest.raises(ValueError):
+        encoding.decode_rect(encoding.encode_rect(0.0, 0.1, 0.0, 0.1)[:-1])
+    # hostile counts: huge vertex count / loop count caps
+    bad_loop = struct.pack("<BI", 1, encoding.DECODE_MAX_NUM_VERTICES + 1)
+    with pytest.raises(ValueError, match="cap"):
+        encoding.decode_loop(bad_loop + b"\x00" * 64)
+    bad_poly = struct.pack("<BBBI", 1, 1, 0, encoding.DECODE_MAX_NUM_LOOPS + 1)
+    with pytest.raises(ValueError, match="cap"):
+        encoding.decode_polygon(bad_poly + b"\x00" * 64)
+
+
+def test_encode_polygon_mismatched_lengths_raises():
+    shell = Loop.make_regular(5.0, 40.0, 6.0, 10)
+    with pytest.raises(ValueError, match="mismatched"):
+        encoding.encode_polygon([shell.vertices], [True, False])
+    with pytest.raises(ValueError, match="mismatched"):
+        encoding.encode_polygon([shell.vertices], [True], depths=[0, 1])

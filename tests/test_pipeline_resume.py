@@ -158,3 +158,19 @@ def test_salted_cell_join_matches_unsalted(spark):
     # hottest cell still holds >half the blob
     assert hot_max >= 5000
     assert salted_max <= hot_max / 4  # 8 salts, allow hash imbalance
+
+
+def test_salted_cell_join_rejects_outer_joins(spark):
+    """ADVICE round-4: hot-cell dim rows are replicated across salts, so
+    right/full outer joins would emit duplicate unmatched dim rows — the
+    join must refuse those modes instead of silently breaking the
+    unsalted-join equivalence."""
+    import pytest
+
+    from s2geometry_d_spark.operators.partitioning import salted_cell_join
+
+    fact = spark.range(10).selectExpr("id", "cast(id + 1 as long) as cell_id")
+    dim = spark.range(4).selectExpr("cast(id as long) as parent_cell", "id as payload")
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_cell_join(fact, dim, level=10, threshold=2, how=how)

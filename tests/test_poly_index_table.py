@@ -123,3 +123,34 @@ def test_index_table_multi_loop_holes(spark):
         and not annulus.contains_point(latlng_point(la, ln))
     ]
     assert in_hole and not (set(in_hole) & got)
+
+
+def test_explicit_join_level_validation_is_opt_in(spark):
+    """ADVICE round-4: an explicitly-supplied join_level must not trigger
+    the min(cov_level) aggregate (it re-executes the index build once per
+    PIP call); validation is opt-in and still catches a too-fine level."""
+    import pytest
+
+    from s2geometry_d_spark.s2core.loops import Loop, Polygon
+
+    polys = [
+        ("a", Loop.make_regular(0.0, 0.0, 5.0, 8)),
+    ]
+    idx = build_polygon_index(
+        polygons_dataframe(spark, [(p, Polygon([lp], p)) for p, lp in polys])
+    )
+    min_cov = idx.agg(F.min("cov_level")).collect()[0][0]
+    pts = tables.spatial_points(spark, SF_DIR)
+    # memoized: a second default-level call must reuse the cached min
+    points_in_polygons_table(pts, idx).columns
+    assert getattr(idx, "_s2_min_cov_level") == min_cov
+    # explicit + validate_level=True rejects a finer-than-coarsest level
+    with pytest.raises(ValueError, match="finer"):
+        points_in_polygons_table(pts, idx, join_level=min_cov + 1, validate_level=True)
+    # explicit without validation: no aggregate, plan still builds
+    fresh = build_polygon_index(
+        polygons_dataframe(spark, [(p, Polygon([lp], p)) for p, lp in polys])
+    )
+    df = points_in_polygons_table(pts, fresh, join_level=min_cov)
+    assert "poly_id" in df.columns
+    assert getattr(fresh, "_s2_min_cov_level", None) is None
