@@ -68,6 +68,7 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -79,10 +80,12 @@ def main():
         except Exception as e:
             print(f"FAIL  {name:24s} spark error: {e}")
             failures.append(name)
+            results[name] = {"status": "spark_error", "err": str(e)[:300]}
             continue
         t1 = time.time()
         if name not in oracles:
             print(f"ok-   {name:24s} rows={len(srows):7d} (rows-only) {t1-t0:6.1f}s")
+            results[name] = {"status": "no_oracle", "rows": len(srows)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -91,17 +94,39 @@ def main():
         except Exception as e:
             print(f"FAIL  {name:24s} duckdb error: {e}")
             failures.append(name)
+            results[name] = {"status": "duckdb_error", "err": str(e)[:300]}
             continue
         sh = value_hash(srows, scols)
         oh = value_hash(orows, ocols)
-        status = "OK  " if (len(srows) == len(orows) and sh == oh) else "FAIL"
+        ok = len(srows) == len(orows) and sh == oh
+        status = "OK  " if ok else "FAIL"
         print(
             f"{status}  {name:24s} rows={len(srows):7d}/{len(orows):7d} "
             f"hash={sh}/{oh} cols={sorted(scols)==sorted(ocols)} {t1-t0:6.1f}s"
         )
-        if status == "FAIL":
+        results[name] = {
+            "status": "ok" if ok else "mismatch",
+            "rows": len(srows),
+            "oracle_rows": len(orows),
+            "hash_match": sh == oh,
+            "schema_match": sorted(scols) == sorted(ocols),
+        }
+        if not ok:
             failures.append(name)
     print("FAILURES:", failures if failures else "none")
+    # pinned CI-style artifact (round-4 verdict ask #8: the driver's
+    # sampling dropped green queries from CORRECTNESS_r04 — this file is
+    # the repo-side green row that exists every round regardless)
+    import json
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH",
+        "check_oracles_last.json",
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump({"sf_dir": sf_dir, "failures": failures, "queries": results}, f, indent=1)
     spark.stop()
     return 1 if failures else 0
 
