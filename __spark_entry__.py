@@ -817,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_relations": _q_polygon_relations,
         "polygon_overlay_union": _q_polygon_overlay_op("union"),
         "polygon_overlay_diff": _q_polygon_overlay_op("difference"),
+        "polygon_overlay_symdiff": _q_polygon_overlay_op("symmetric_difference"),
         "polygon_overlay_holes": _q_polygon_overlay_holes("intersection"),
         "polygon_overlay_holes_diff": _q_polygon_overlay_holes("difference", flip=True),
         "polygon_overlay_holes_union": _q_polygon_overlay_holes("union"),
@@ -1708,6 +1709,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_overlay": demo.overlay_sql("intersection"),
         "polygon_overlay_union": demo.overlay_sql("union"),
         "polygon_overlay_diff": demo.overlay_sql("difference"),
+        "polygon_overlay_symdiff": demo.overlay_sql("symmetric_difference"),
         "polygon_overlay_holes": demo.overlay_holes_sql("intersection"),
         "polygon_overlay_holes_diff": demo.overlay_holes_sql("difference", flip=True),
         "polygon_overlay_holes_union": demo.overlay_holes_sql("union"),

@@ -216,11 +216,19 @@ def overlay_sql(op: str) -> str:
     (∩ keeps A-verts inside B + B-verts inside A; ∪ keeps outside/outside;
     A−B keeps A-outside + B-inside), crossing points from the two
     great-circle normals (same expression order as
-    s2core.boolean.edge_intersection, so doubles agree bitwise)."""
+    s2core.boolean.edge_intersection, so doubles agree bitwise).
+
+    symmetric_difference keeps EVERY original vertex (each lies on the
+    boundary of exactly one of the A−B / B−A pieces) and every crossing
+    point TWICE (both piece boundaries pass through it) — so the det-sign
+    filter degenerates to tautologies and the crossing CTE is emitted
+    twice."""
     cmp_a, cmp_b = {
         "intersection": ("> 0", "> 0"),
         "union": ("< 0", "< 0"),
         "difference": ("< 0", "> 0"),
+        # min(det) over real operands is always finite: keep-all
+        "symmetric_difference": ("IS NOT NULL", "IS NOT NULL"),
     }[op]
     def lit(x: float) -> str:
         # exponent form forces DOUBLE (plain decimals parse as DECIMAL in
@@ -303,10 +311,20 @@ allv AS (
   SELECT pair_id, sx / sqrt(sx*sx + sy*sy + sz*sz),
          sy / sqrt(sx*sx + sy*sy + sz*sz),
          sz / sqrt(sx*sx + sy*sy + sz*sz)
-  FROM xsigned
+  FROM xsigned{_SYMDIFF_SECOND_CROSSING if op == "symmetric_difference" else ""}
 )
 SELECT pair_id, round(x, 6) AS vx, round(y, 6) AS vy, round(z, 6) AS vz FROM allv
 """
+
+
+# second copy of each crossing point for the symmetric difference: both
+# result-piece boundaries pass through every crossing vertex
+_SYMDIFF_SECOND_CROSSING = """
+  UNION ALL
+  SELECT pair_id, sx / sqrt(sx*sx + sy*sy + sz*sz),
+         sy / sqrt(sx*sx + sy*sy + sz*sz),
+         sz / sqrt(sx*sx + sy*sy + sz*sz)
+  FROM xsigned"""
 
 
 # -- polygon-overlay WITH HOLES fixture ------------------------------------

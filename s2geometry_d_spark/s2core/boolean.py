@@ -162,11 +162,16 @@ def _arc_midpoint(u, v):
     return normalize((u[0] + v[0], u[1] + v[1], u[2] + v[2]))
 
 
+OPS = ("intersection", "union", "difference", "symmetric_difference")
+
+
 def overlay(poly_a, poly_b, op: str) -> list[list[tuple]]:
     """Boolean overlay of two polygons; returns the result's loops as
     vertex lists (interior-left orientation preserved).  ``op`` is one of
-    'intersection', 'union', 'difference' (A minus B)."""
-    if op not in ("intersection", "union", "difference"):
+    'intersection', 'union', 'difference' (A minus B),
+    'symmetric_difference' (the reference's fourth OpType,
+    s2boolean_operation.d:225-481)."""
+    if op not in OPS:
         raise ValueError(op)
     ea = _directed_edges(poly_a)
     eb = _directed_edges(poly_b)
@@ -199,31 +204,27 @@ def overlay(poly_a, poly_b, op: str) -> list[list[tuple]]:
         edges = kept(sa, rb, True) + kept(sb, ra, True)
     elif op == "union":
         edges = kept(sa, rb, False) + kept(sb, ra, False)
-    else:  # difference: A outside B, plus B's edges inside A reversed
+    elif op == "difference":  # A outside B, plus B's edges inside A reversed
         edges = kept(sa, rb, False) + kept(sb, ra, True, reverse=True)
+    else:
+        # symmetric difference keeps EVERY sub-edge: outside-other forward
+        # (bounding the A−B / B−A pieces from outside), inside-other
+        # REVERSED (the same pieces bounded from within the other region).
+        # Each crossing vertex is 2-in/2-out — the CCW-sweep stitcher
+        # pairs the wedges so the two pieces come out as separate simple
+        # loops rather than a figure-eight.
+        edges = (
+            kept(sa, rb, False)
+            + kept(sa, rb, True, reverse=True)
+            + kept(sb, ra, False)
+            + kept(sb, ra, True, reverse=True)
+        )
 
-    # stitch by exact start-point keys (crossing points are shared objects)
-    succ: dict = {}
-    for e in edges:
-        succ.setdefault(e[0], []).append(e)
-    loops: list[list[tuple]] = []
-    used: set = set()
-    for e in edges:
-        if id(e) in used:
-            continue
-        loop = []
-        cur = e
-        while True:
-            used.add(id(cur))
-            loop.append(cur[0])
-            nxts = [x for x in succ.get(cur[1], []) if id(x) not in used]
-            if not nxts:
-                # loop closes when the next start equals the first vertex
-                break
-            # generic position: exactly one unused successor
-            cur = nxts[0]
-        loops.append(loop)
-    return loops
+    # stitch by exact start-point keys (crossing points are shared objects);
+    # _stitch's CCW successor rule only engages at 2-in/2-out vertices
+    # (symmetric difference) — generic-position ∩/∪/− have single
+    # successors and take the same path as before
+    return _stitch(edges)
 
 
 # ---------------------------------------------- degenerate-tolerant overlay
@@ -338,8 +339,14 @@ def overlay_degenerate(poly_a, poly_b, op: str) -> list[list[tuple]]:
     classify each sub-edge by an epsilon-LEFT (or RIGHT, for union)
     membership probe — never ON the boundary, so coincident edges classify
     exactly; dedupe identical directed sub-edges; stitch with a CCW-sweep
-    successor rule at 2-in/2-out shared vertices."""
-    if op not in ("intersection", "union", "difference"):
+    successor rule at 2-in/2-out shared vertices.
+
+    symmetric_difference probes BOTH sides of every undirected sub-edge:
+    the edge is boundary iff A△B membership flips across it (oriented
+    interior-left); shared edges in EITHER direction have equal membership
+    on both sides and vanish — the reference's semantics with degenerate
+    edges disabled."""
+    if op not in OPS:
         raise ValueError(op)
     ea = _directed_edges(poly_a)
     eb_orig = _directed_edges(poly_b)
@@ -362,6 +369,26 @@ def overlay_degenerate(poly_a, poly_b, op: str) -> list[list[tuple]]:
                 cross_b.setdefault(j, []).append(x)
     sa = _split_edges(ea, cross_a, vb)
     sb = _split_edges(eb, cross_b, va)
+
+    if op == "symmetric_difference":
+        # two-sided probe per UNDIRECTED sub-edge (an edge shared between
+        # the operands appears in both sa and sb — classify its geometry
+        # once): in-symdiff = in_A XOR in_B; keep with symdiff-interior on
+        # the LEFT, drop when both sides agree (interior edge or shared
+        # boundary)
+        undirected: dict = {}
+        for u, v in sa + sb:
+            undirected.setdefault((u, v) if u <= v else (v, u), (u, v))
+        kept_edges = []
+        for u, v in undirected.values():
+            pl, pr = _probe(u, v, 1), _probe(u, v, -1)
+            sl = ra.contains_point(pl) != rb.contains_point(pl)
+            sr = ra.contains_point(pr) != rb.contains_point(pr)
+            if sl and not sr:
+                kept_edges.append((u, v))
+            elif sr and not sl:
+                kept_edges.append((v, u))
+        return _stitch(kept_edges)
 
     # classification probes:
     #   intersection — boundary edge iff its interior side (left) is inside
@@ -404,7 +431,7 @@ def overlay_snapped(poly_a, poly_b, op: str, snap_level: int = 20) -> list[list[
     if a is None or b is None:
         if op == "intersection":
             return []
-        if op == "union":
+        if op in ("union", "symmetric_difference"):  # empty △ X = X
             survivor = a or b
             return [lp.vertices for lp in survivor.loops] if survivor else []
         return [lp.vertices for lp in a.loops] if a else []
@@ -428,17 +455,55 @@ def union_many(polygons: list) -> list[list[tuple]]:
     return [lp.vertices for lp in acc.loops]
 
 
-def clip_polyline(vertices: list, poly, keep_inside: bool = True) -> list[list[tuple]]:
+def _sub_edge_on_boundary(u, v, pedges):
+    """If the sub-edge u->v lies ON a polygon boundary edge, return that
+    edge (c, d); else None.  Decided from the sub-edge's ENDPOINTS with the
+    exact predicates (the endpoints are exact input/vertex floats; a
+    midpoint would be a rounded construction)."""
+
+    def on_closed(c, d, w):
+        return w == c or w == d or _on_edge_strictly(c, d, w)
+
+    for c, d in pedges:
+        if on_closed(c, d, u) and on_closed(c, d, v):
+            return (c, d)
+    return None
+
+
+def clip_polyline(
+    vertices: list,
+    poly,
+    keep_inside: bool = True,
+    polygon_model: str = "semi_open",
+) -> list[list[tuple]]:
     """Clip an open polyline to a polygon (S2Polyline::intersect semantics,
     s2polyline.d / s2boolean_operation.d applied to a 1D operand): split
     every polyline edge at its polygon-boundary crossings, keep the
     sub-edges whose midpoint is inside (or outside), and stitch consecutive
     kept sub-edges back into maximal chains.
 
-    Returns the kept chains as vertex lists.  Crossing points use the same
-    closed-form as the overlay, so the SQL oracle re-derives the clipped
-    vertex multiset for convex polygons."""
+    ``polygon_model`` is the reference's PolygonModel option
+    (s2boolean_operation.d:225-316) deciding polyline sub-edges that lie
+    exactly ON the polygon boundary:
+
+    * ``open`` — boundary not contained: on-boundary runs are dropped by
+      intersection (kept by difference);
+    * ``closed`` — boundary contained: on-boundary runs kept by
+      intersection;
+    * ``semi_open`` (default) — contained iff the polygon interior is on
+      the LEFT of the polyline's own direction, i.e. runs parallel to the
+      boundary edge are contained, antiparallel runs are not.
+
+    Polyline edges are additionally split at polygon VERTICES lying on
+    them, so every sub-edge lies within a single boundary edge and the
+    model decision is per-run exact.  Returns the kept chains as vertex
+    lists.  Crossing points use the same closed-form as the overlay, so
+    the SQL oracle re-derives the clipped vertex multiset for convex
+    polygons."""
+    if polygon_model not in ("open", "semi_open", "closed"):
+        raise ValueError(polygon_model)
     pedges = _directed_edges(poly)
+    pverts = {w for e in pedges for w in e}
     region = ILRegion(pedges)
     chains: list[list[tuple]] = []
     cur: list[tuple] = []
@@ -449,13 +514,25 @@ def clip_polyline(vertices: list, poly, keep_inside: bool = True) -> list[list[t
             for c, d in pedges
             if pred.crossing_sign(u, v, c, d) > 0
         ]
+        # split at polygon vertices ON the edge too (coincident runs)
+        xs.extend(w for w in pverts if _on_edge_strictly(u, v, w))
         xs.sort(key=lambda x: chord2_between(u, x))
         chain = [u, *xs, v]
         for k in range(len(chain) - 1):
             a, b = chain[k], chain[k + 1]
             if chord2_between(a, b) == 0.0:
                 continue
-            if region.contains_point(_arc_midpoint(a, b)) == keep_inside:
+            coincident = _sub_edge_on_boundary(a, b, pedges)
+            if coincident is None:
+                contained = region.contains_point(_arc_midpoint(a, b))
+            elif polygon_model == "open":
+                contained = False
+            elif polygon_model == "closed":
+                contained = True
+            else:  # semi_open: interior-left iff run parallels the edge
+                c, _d = coincident
+                contained = chord2_between(c, a) <= chord2_between(c, b)
+            if contained == keep_inside:
                 if cur and cur[-1] == a:
                     cur.append(b)
                 else:

@@ -340,3 +340,125 @@ def test_overlay_result_loop_depths():
     (loops, _), _ = encoding.decode_polygon(data)
     assert sorted(lp[2] for lp in loops) == [0, 1, 2]
     assert data[2] == 1  # has_holes
+
+
+# ------------------------------------------------- symmetric difference
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_symmetric_difference_area_and_membership(seed):
+    """A△B = (A∪B) − (A∩B): area identity + membership parity against the
+    direct definition in_A XOR in_B on sampled points."""
+    rnd = random.Random(seed)
+    la, ln = 10.0 * (seed - 2), 20.0 * seed
+    a = Polygon([Loop.make_regular(la, ln, 7.0, 11)], "a")
+    b = Polygon([Loop.make_regular(la + 4.0, ln + 3.0, 6.0, 9)], "b")
+    sym = B.overlay(a, b, "symmetric_difference")
+    ai = _area(B.overlay(a, b, "intersection"))
+    assert abs(_area(sym) - (_poly_area(a) + _poly_area(b) - 2 * ai)) < 1e-12
+    res = _result_polygon(sym)
+    pts = [
+        latlng_point(la + rnd.uniform(-15, 15), ln + rnd.uniform(-15, 15))
+        for _ in range(300)
+    ]
+    for p in pts:
+        want = a.contains_point(p) != b.contains_point(p)
+        assert bool(res and res.contains_point(p)) == want
+
+
+def test_symmetric_difference_degenerate_cases():
+    """Tangent / identical / contained operands through the degenerate
+    walk: shared edges vanish, A△A = empty, contained => annulus."""
+
+    def sq(lng0, lng1, lat0, lat1):
+        def xyz(lat, lng):
+            la, lo = math.radians(lat), math.radians(lng)
+            return (
+                math.cos(la) * math.cos(lo),
+                math.cos(la) * math.sin(lo),
+                math.sin(la),
+            )
+
+        return Polygon(
+            [Loop([xyz(lat0, lng0), xyz(lat0, lng1), xyz(lat1, lng1), xyz(lat1, lng0)])],
+            "s",
+        )
+
+    s1, s2 = sq(0.0, 5.0, 0.0, 5.0), sq(5.0, 10.0, 0.0, 5.0)
+    sym = B.overlay_degenerate(s1, s2, "symmetric_difference")
+    uni = B.overlay_degenerate(s1, s2, "union")
+    assert abs(_area(sym) - _area(uni)) < 1e-15
+    assert B.overlay_degenerate(s1, sq(0.0, 5.0, 0.0, 5.0), "symmetric_difference") == []
+    big, small = sq(-20.0, 20.0, -20.0, 20.0), sq(-5.0, 5.0, -5.0, 5.0)
+    ann = B.overlay(big, small, "symmetric_difference")
+    assert sorted(B.assign_loop_depths(ann)) == [0, 1]
+    assert abs(_area(ann) - (_poly_area(big) - _poly_area(small))) < 1e-12
+
+
+# ------------------------------------------------- polygon boundary models
+
+
+def _eq_square():
+    """Square with its bottom edge EXACTLY on the equator (z = 0 exact, so
+    a lat-0 polyline lies exactly on the boundary geodesic)."""
+
+    def xyz(lat, lng):
+        la, lo = math.radians(lat), math.radians(lng)
+        z = 0.0 if lat == 0.0 else math.sin(la)
+        c = 1.0 if lat == 0.0 else math.cos(la)
+        return (c * math.cos(lo), c * math.sin(lo), z)
+
+    return (
+        Polygon(
+            [Loop([xyz(0.0, 0.0), xyz(0.0, 10.0), xyz(10.0, 10.0), xyz(10.0, 0.0)])],
+            "sq",
+        ),
+        xyz,
+    )
+
+
+def _chains_len(chains):
+    tot = 0.0
+    for vs in chains:
+        for i in range(len(vs) - 1):
+            tot += math.degrees(
+                2.0
+                * math.asin(0.5 * math.sqrt(B.chord2_between(vs[i], vs[i + 1])))
+            )
+    return tot
+
+
+@pytest.mark.parametrize(
+    "model,fwd_deg,rev_deg",
+    [("open", 0.0, 0.0), ("semi_open", 10.0, 0.0), ("closed", 10.0, 10.0)],
+)
+def test_clip_polyline_polygon_models_on_boundary(model, fwd_deg, rev_deg):
+    """PolygonModel semantics (s2boolean_operation.d:225-316) for a
+    polyline running ALONG the boundary: open drops it, closed keeps it,
+    semi_open keeps it iff the polygon interior is on the polyline's left
+    (i.e. only the run parallel to the boundary edge direction)."""
+    poly, xyz = _eq_square()
+    fwd = [xyz(0.0, -5.0), xyz(0.0, 15.0)]  # west->east: interior on LEFT
+    rev = [xyz(0.0, 15.0), xyz(0.0, -5.0)]  # east->west: interior on RIGHT
+    got_f = _chains_len(B.clip_polyline(fwd, poly, polygon_model=model))
+    got_r = _chains_len(B.clip_polyline(rev, poly, polygon_model=model))
+    assert abs(got_f - fwd_deg) < 1e-9, (model, got_f)
+    assert abs(got_r - rev_deg) < 1e-9, (model, got_r)
+    # difference keeps the complement of the kept run within the polyline
+    got_fd = _chains_len(B.clip_polyline(fwd, poly, keep_inside=False, polygon_model=model))
+    assert abs(got_fd - (20.0 - fwd_deg)) < 1e-9, (model, got_fd)
+
+
+def test_clip_polyline_models_agree_off_boundary():
+    """Model choice must not affect a polyline that crosses the interior
+    transversally (boundary contact measure zero)."""
+    poly, xyz = _eq_square()
+    line = [xyz(-3.0, 5.0), xyz(13.0, 5.0)]
+    lens = {
+        m: _chains_len(B.clip_polyline(line, poly, polygon_model=m))
+        for m in ("open", "semi_open", "closed")
+    }
+    assert max(lens.values()) - min(lens.values()) < 1e-12
+    # the top boundary edge is a geodesic (sags poleward of the lat-10
+    # parallel), so the inside run is slightly longer than 10 deg
+    assert abs(lens["semi_open"] - 10.0) < 0.1
