@@ -539,7 +539,12 @@ def _q_group_rect_bounds(spark, sf_dir):
     pts = _points(spark, sf_dir).withColumn(
         "band", F.floor(F.col("lat") / 15.0).cast("long")
     )
-    return group_rect_bounds(pts, "band")
+    # bin-count sizing rule: the driver collect is bounded by
+    # n_groups x n_bins rows regardless of fact size; with 12 bands,
+    # 65536 bins keeps that under 1M rows while making per-bin occupancy
+    # << 1 at any realistic density — the in-bin refinement pass (an
+    # extra full-scan job) then never triggers (round-5: 6.4s -> 1.2s)
+    return group_rect_bounds(pts, "band", n_bins=65536)
 
 
 def _q_cell_roundtrip(spark, sf_dir):

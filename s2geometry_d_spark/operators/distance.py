@@ -136,20 +136,23 @@ def group_rect_bounds(
     100 TB).  Instead:
 
     1. quantize lng into ``n_bins`` fixed bins; ONE map-side-combined
-       aggregate per (group, bin) -> (count, min_lng, max_lng); output is
-       <= groups x n_bins rows (collected — groups are low-cardinality by
-       premise; the same gap scan also states as a window over this tiny
-       aggregate if groups ever aren't);
-    2. driver gap scan: every between-bin gap (min of next occupied bin -
-       max of this bin, plus the wrap gap) is EXACT from the aggregates;
+       aggregate per (group, bin) -> (count, min_lng, max_lng); Arrow
+       toPandas of the tiny aggregate (groups are low-cardinality by
+       premise);
+    2. driver gap scan (vectorized numpy): every between-bin gap (min of
+       next occupied bin - max of this bin, plus the wrap gap) is EXACT
+       from the aggregates;
     3. exact refinement only inside bins whose internal span could still
-       compete (internal gap <= bin span < bin width, so whenever the best
-       between-bin gap exceeds the bin width — the normal case — no
-       refinement scan runs at all).
+       compete — sub-bin aggregates, never raw values (round-3 verdict
+       #5); per-group best gaps are maintained INCREMENTALLY (round-5: the
+       per-bin max() rescan over the full gap list was an accidental
+       quadratic — 6s of driver CPU at sf0.1).
 
     The result is byte-identical to the full-sort construction, including
     the (gap DESC, lng ASC) tie-break.  Returns
     (group, n_points, lat_lo, lat_hi, lng_lo, lng_hi) in degrees."""
+    import numpy as np
+
     spark = points_df.sparkSession
     width = 360.0 / n_bins
     bin_expr = F.least(
@@ -169,51 +172,39 @@ def group_rect_bounds(
         F.min(lat_col).alias("lat_mn"),
         F.max(lat_col).alias("lat_mx"),
     )
-    per_group: dict = {}
-    lat_stats: dict = {}
-    for r in binned.collect():
-        per_group.setdefault(r[group_col], []).append(
-            (r["_bin"], r["cnt"], r["mn"], r["mx"])
-        )
-        n0, lo0, hi0 = lat_stats.get(r[group_col], (0, 90.0, -90.0))
-        lat_stats[r[group_col]] = (
-            n0 + r["cnt"],
-            min(lo0, r["lat_mn"]),
-            max(hi0, r["lat_mx"]),
-        )
+    pdf = binned.toPandas().sort_values([group_col, "_bin"])
 
-    cand_gaps: dict = {}  # group -> [(gap, start_lng, end_lng)]
-    refine: list = []  # (group, bin) pairs needing exact interior scan
-    for g, bins in per_group.items():
-        bins.sort()
-        gaps = [
-            (nxt_mn - mx, mx, nxt_mn)
-            for (_, _, _, mx), (_, _, nxt_mn, _) in zip(bins, bins[1:])
-        ]
-        # wrap gap: global max -> global min + 360
-        gaps.append((bins[0][2] + 360.0 - bins[-1][3], bins[-1][3], bins[0][2]))
-        best = max(gap for gap, _, _ in gaps)
-        cand_gaps[g] = gaps
-        refine.extend(
-            (g, b) for b, cnt, mn, mx in bins if cnt >= 2 and (mx - mn) >= best
+    # group -> (gap_arr, start_arr, end_arr) candidate gaps; best kept as a
+    # SCALAR per group, updated as gaps arrive (never re-scanned)
+    cand: dict = {}
+    best: dict = {}
+    lat_stats: dict = {}
+    refine: list = []  # (group, bin) pairs needing sub-bin refinement
+    for g, sub in pdf.groupby(group_col, sort=False):
+        cnt = sub["cnt"].to_numpy()
+        mn = sub["mn"].to_numpy()
+        mx = sub["mx"].to_numpy()
+        lat_stats[g] = (
+            int(cnt.sum()),
+            float(sub["lat_mn"].to_numpy().min()),
+            float(sub["lat_mx"].to_numpy().max()),
         )
+        gap = np.concatenate([mn[1:] - mx[:-1], [mn[0] + 360.0 - mx[-1]]])
+        start = np.concatenate([mx[:-1], [mx[-1]]])
+        end = np.concatenate([mn[1:], [mn[0]]])
+        cand[g] = [gap, start, end]
+        best[g] = float(gap.max())
+        span = mx - mn
+        amb = (cnt >= 2) & (span >= best[g])
+        refine.extend((g, int(b)) for b in sub["_bin"].to_numpy()[amb])
 
     # Iterative refinement by SUB-BIN AGGREGATES, never raw values: each
-    # level re-bins only the still-ambiguous bins 4096x finer and collects
-    # the occupied-sub-bin aggregates (count/min/max), from which every
-    # between-sub-bin gap is exact.  A bin stays ambiguous only while its
-    # internal span could beat the current best gap — each level divides
-    # that span bound by n_bins, so the loop reaches the double-precision
-    # floor in <= 4 levels with no per-value collect anywhere (round-3
-    # verdict #5: the old single-level path collected every distinct
-    # longitude of a pathological bin).
+    # level re-bins only the still-ambiguous bins 4096^2x finer and folds
+    # the occupied-sub-bin aggregates; a bin stays ambiguous only while its
+    # internal span could beat the current best gap, so the loop reaches
+    # the double-precision floor in <= 2 levels with no per-value collect.
     level_width = width
     while refine:
-        # shrink by n_bins^2 per round: one refinement round resolves all
-        # realistic data (sub-bin width ~5e-9 deg after round one — any
-        # surviving ambiguity means a best gap below that, i.e. near-
-        # duplicate values), so the common case pays ONE extra aggregate
-        # job, not one per bin-level
         level_width = level_width / (n_bins * n_bins)
         if level_width < 1e-12:
             # below ulp scale: remaining ambiguity is a handful of
@@ -221,21 +212,22 @@ def group_rect_bounds(
             pairs_df = spark.createDataFrame(refine, [group_col, "_bin"])
             sub = (
                 src.join(F.broadcast(pairs_df), [group_col, "_bin"], "left_semi")
+                .select(group_col, lng_col)
                 .distinct()
-                .collect()
+                .toPandas()
             )
-            by_g: dict = {}
-            for r in sub:
-                by_g.setdefault(r[group_col], []).append(r[lng_col])
-            for g, lngs in by_g.items():
-                lngs.sort()
-                cand_gaps[g].extend((b - a, a, b) for a, b in zip(lngs, lngs[1:]))
+            for g, gsub in sub.groupby(group_col, sort=False):
+                lngs = np.sort(gsub[lng_col].to_numpy())
+                if len(lngs) >= 2:
+                    cand[g][0] = np.concatenate([cand[g][0], lngs[1:] - lngs[:-1]])
+                    cand[g][1] = np.concatenate([cand[g][1], lngs[:-1]])
+                    cand[g][2] = np.concatenate([cand[g][2], lngs[1:]])
             break
         pairs_df = spark.createDataFrame(
             [(g, b) for g, b in refine], [group_col, "_bin"]
         )
         sub_bin = F.floor((F.col(lng_col) + 180.0) / F.lit(level_width)).cast("long")
-        sub_rows = (
+        sub_pdf = (
             src.join(F.broadcast(pairs_df), [group_col, "_bin"], "left_semi")
             .withColumn("_sbin", sub_bin)
             .groupBy(group_col, "_bin", "_sbin")
@@ -244,35 +236,42 @@ def group_rect_bounds(
                 F.min(lng_col).alias("mn"),
                 F.max(lng_col).alias("mx"),
             )
-            .collect()
+            .toPandas()
+            .sort_values([group_col, "_bin", "_sbin"])
         )
-        per_parent: dict = {}
-        for r in sub_rows:
-            per_parent.setdefault((r[group_col], r["_bin"]), []).append(
-                (r["_sbin"], r["cnt"], r["mn"], r["mx"])
-            )
+        # pass 1: extend gaps, update best[g] incrementally
+        parents: list = []
+        for (g, parent), sbins in sub_pdf.groupby([group_col, "_bin"], sort=False):
+            mn = sbins["mn"].to_numpy()
+            mx = sbins["mx"].to_numpy()
+            if len(mn) >= 2:
+                gap = mn[1:] - mx[:-1]
+                cand[g][0] = np.concatenate([cand[g][0], gap])
+                cand[g][1] = np.concatenate([cand[g][1], mx[:-1]])
+                cand[g][2] = np.concatenate([cand[g][2], mn[1:]])
+                best[g] = max(best[g], float(gap.max()))
+            parents.append((g, parent, sbins))
+        # pass 2: next-level ambiguity against the FINAL best of this level
         refine = []
-        for (g, parent), sbins in per_parent.items():
-            sbins.sort()
-            cand_gaps[g].extend(
-                (nxt_mn - mx, mx, nxt_mn)
-                for (_, _, _, mx), (_, _, nxt_mn, _) in zip(sbins, sbins[1:])
-            )
-            best = max(gap for gap, _, _ in cand_gaps[g])
-            refine.extend(
-                (g, parent, s) for s, cnt, mn, mx in sbins if cnt >= 2 and (mx - mn) >= best
-            )
-        # deeper levels key on the SUB-bin: fold it into the parent key by
-        # re-binning src on the finer index next round
+        for g, parent, sbins in parents:
+            cnt = sbins["cnt"].to_numpy()
+            mn = sbins["mn"].to_numpy()
+            mx = sbins["mx"].to_numpy()
+            span = mx - mn
+            amb = (cnt >= 2) & (span >= best[g])
+            for s in sbins["_sbin"].to_numpy()[amb]:
+                refine.append((g, int(s)))
+        # deeper levels key on the SUB-bin: re-bin src on the finer index
         if refine:
             src = src.withColumn("_bin", sub_bin)
-            refine = [(g, s) for g, _, s in refine]
 
     out_rows = []
-    for g, gaps in cand_gaps.items():
-        gap, start, end = min(gaps, key=lambda t: (-t[0], t[1]))
+    for g, (gap, start, end) in cand.items():
+        order = np.lexsort((start, -gap))[0]
         n_pts, lat_lo, lat_hi = lat_stats[g]
-        out_rows.append((g, int(n_pts), lat_lo, lat_hi, end, start))
+        out_rows.append(
+            (g, int(n_pts), lat_lo, lat_hi, float(end[order]), float(start[order]))
+        )
     # round SQL-side (HALF_UP) — python round() is banker's
     return spark.createDataFrame(
         out_rows, [group_col, "n_points", "lat_lo", "lat_hi", "lng_lo", "lng_hi"]
@@ -284,8 +283,6 @@ def group_rect_bounds(
         F.round("lng_lo", 6).alias("lng_lo"),
         F.round("lng_hi", 6).alias("lng_hi"),
     )
-
-
 def group_cap_bounds(
     points_df: DataFrame,
     group_col: str,
