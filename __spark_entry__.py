@@ -197,6 +197,34 @@ def _q_pip_many_poly_table(spark, sf_dir):
     return out.select(F.col("poly_id").alias("region_id"), "point_id")
 
 
+def _q_pip_unified_index(spark, sf_dir):
+    """Same 1000-polygon PIP probed through the UNIFIED mixed-shape index
+    (s2shape_index.d:34-148: points/polylines/polygons in ONE table) — the
+    dim=2 slice routes through the identical join machinery, so the oracle
+    (and hash) are shared with pip_many_poly_table while the artifact also
+    carries dim=0/1 rows."""
+    from s2geometry_d_spark.operators.shape_index import (
+        points_in_shapes,
+        unified_shape_index,
+    )
+    from s2geometry_d_spark.operators.poly_index import polygons_dataframe
+
+    key = (spark.sparkContext.applicationId, "unified_index")
+    cached = _POLY_INDEX_CACHE.get(key)
+    if cached is None:
+        polys_df = polygons_dataframe(spark, demo.many_poly_regions())
+        edges = _edges(spark, sf_dir).limit(2000)
+        idx = unified_shape_index(edges_df=edges, polys_df=polys_df).persist()
+        jl = (
+            idx.filter(F.col("dim") == 2).agg(F.min("cov_level")).collect()[0][0]
+        )
+        cached = _POLY_INDEX_CACHE[key] = (idx, int(jl))
+    idx, jl = cached
+    pts = _points(spark, sf_dir)
+    out = points_in_shapes(pts, idx, join_level=jl)
+    return out.select(F.col("poly_id").alias("region_id"), "point_id")
+
+
 def _q_spatial_antijoin(spark, sf_dir):
     pts = _points(spark, sf_dir)
     out = points_not_in_regions(pts, demo.all_regions(), ["point_id"])
@@ -473,6 +501,21 @@ def _q_polygon_overlay_op(op):
         )
 
     return q
+
+
+def _q_snap_polygons(spark, sf_dir):
+    """Distributed snap-rounding ingestion (builder v2: s2builder.d:100-700
+    + IntLatLngSnapFunction of builder/util/snap_functions.d): a table of
+    DIRTY polygons (near-duplicate vertices) is repaired per group; the
+    oracle re-derives the E4 snap-site set with SQL rounding on the same
+    vertex literals."""
+    from s2geometry_d_spark.operators.overlay import (
+        dirty_polygons_dataframe,
+        snap_polygons_table,
+    )
+
+    df = dirty_polygons_dataframe(spark, demo.snap_fixture_polys())
+    return snap_polygons_table(df, exponent=demo.SNAP_EXPONENT)
 
 
 def _q_polygon_overlay_holes(op, flip=False):
@@ -806,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_bigpoly_join": _q_pip_bigpoly,
         "pip_many_poly_join": _q_pip_many_poly,
         "pip_many_poly_table": _q_pip_many_poly_table,
+        "pip_unified_index": _q_pip_unified_index,
         "spatial_antijoin": _q_spatial_antijoin,
         "knn_join": _q_knn,
         "knn_edges_join": _q_knn_edges,
@@ -826,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlay_holes": _q_polygon_overlay_holes("intersection"),
         "polygon_overlay_holes_diff": _q_polygon_overlay_holes("difference", flip=True),
         "polygon_overlay_holes_union": _q_polygon_overlay_holes("union"),
+        "snap_polygons": _q_snap_polygons,
         "within_distance_join": _q_within_distance,
         "within_distance_polyline": _q_within_polyline,
         "group_cap_bounds": _q_group_bounds,
@@ -1701,6 +1746,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_bigpoly_join": _pip_bigpoly_sql(),
         "pip_many_poly_join": demo.many_poly_sql(),
         "pip_many_poly_table": demo.many_poly_sql(),
+        "pip_unified_index": demo.many_poly_sql(),
         "spatial_antijoin": _spatial_antijoin_sql(),
         "knn_join": _knn_sql(),
         "knn_edges_join": _knn_edges_sql(),
@@ -1718,6 +1764,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_overlay_holes": demo.overlay_holes_sql("intersection"),
         "polygon_overlay_holes_diff": demo.overlay_holes_sql("difference", flip=True),
         "polygon_overlay_holes_union": demo.overlay_holes_sql("union"),
+        "snap_polygons": demo.snap_polygons_sql(),
         "clip_polylines": _clip_polylines_sql(),
         "polygon_union_many": demo.union_many_sql(),
         "polygon_relations": demo.polygon_relations_sql(),

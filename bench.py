@@ -61,6 +61,10 @@ EXTRA = [
     "polygon_overlay_holes",
     "knn_edges_maxerror",
     "tile_assignment_stats",
+    # round 5
+    "polygon_overlay_symdiff",
+    "snap_polygons",
+    "pip_unified_index",
 ]
 
 

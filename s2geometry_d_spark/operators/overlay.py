@@ -250,3 +250,62 @@ def overlay_vertices(pairs_df: DataFrame, op: str) -> DataFrame:
         return pd.DataFrame(out, columns=["pair_id", "vx", "vy", "vz"])
 
     return pairs_df.groupBy("pair_id").applyInPandas(run, OUT_SCHEMA)
+
+
+SNAP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.IntegerType(), False),
+        T.StructField("vlat", T.DoubleType(), False),
+        T.StructField("vlng", T.DoubleType(), False),
+    ]
+)
+
+POLY_LOOPS_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.IntegerType(), False),
+        T.StructField("loops", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))), False),
+    ]
+)
+
+
+def dirty_polygons_dataframe(spark: SparkSession, polys) -> DataFrame:
+    """polys: [(poly_id, [loop_vertices_xyz, ...])]."""
+    rows = [
+        (pid, [[list(v) for v in loop] for loop in loops]) for pid, loops in polys
+    ]
+    return spark.createDataFrame(rows, POLY_LOOPS_SCHEMA)
+
+
+def snap_polygons_table(polys_df: DataFrame, exponent: int = 4) -> DataFrame:
+    """Distributed snap-rounding ingestion (builder v2, s2builder.d:100-700
+    + IntLatLngSnapFunction): one applyInPandas group per dirty polygon —
+    self-intersections split, near-duplicate vertices merged to shared
+    E{exponent} snap sites, degeneracies cancelled — emitting one row per
+    distinct output vertex (poly_id, vlat, vlng) rounded to 6 dp.
+
+    At scale this is the ingestion-repair stage of a geometry pipeline:
+    map-only over the polygon table (each group is one polygon), no
+    shuffle beyond the groupBy on poly_id."""
+    import math
+
+    from ..s2core.builder import IntLatLngSnapFunction, build_polygon
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sf = IntLatLngSnapFunction(exponent)
+        out = []
+        for _, row in pdf.iterrows():
+            loops = [[tuple(v) for v in loop] for loop in row["loops"]]
+            snapped, _depths = build_polygon(loops, sf)
+            seen = set()
+            for vs in snapped:
+                for v in vs:
+                    # + 0.0 folds IEEE -0.0 to +0.0 (the oracle does the
+                    # same; a signed zero flips the value hash)
+                    lat = round(math.degrees(math.asin(max(-1.0, min(1.0, v[2])))), 6) + 0.0
+                    lng = round(math.degrees(math.atan2(v[1], v[0])), 6) + 0.0
+                    if (lat, lng) not in seen:
+                        seen.add((lat, lng))
+                        out.append((row["poly_id"], lat, lng))
+        return pd.DataFrame(out, columns=["poly_id", "vlat", "vlng"])
+
+    return polys_df.groupBy("poly_id").applyInPandas(run, SNAP_OUT_SCHEMA)

@@ -827,3 +827,63 @@ def knn_queries_values_sql() -> str:
         qz = math.sin(lat_r)
         rows.append(f"('{qid}', {qx!r}, {qy!r}, {qz!r})")
     return "(VALUES " + ", ".join(rows) + ") AS q(query_id, qx, qy, qz)"
+
+
+# -- dirty-polygon snap fixture (builder v2) -------------------------------
+# Regular loops polluted with NEAR-DUPLICATE vertices (1e-8 deg offsets —
+# far below the E4 snap resolution, so each duplicate rounds to the same
+# snap site and must merge).  Centers stay below |lat| 40 so adjacent E4
+# grid sites are separated by more than the snap radius (lng grid spacing
+# shrinks by cos(lat); at high latitude site selection would merge
+# neighboring grid points and the closed-form oracle would no longer
+# predict the site set).
+SNAP_POLYS = 10
+SNAP_EXPONENT = 4
+
+
+def snap_fixture_polys():
+    """[(poly_id, [loop_vertices_xyz])] dirty inputs for snap_polygons."""
+    out = []
+    for k in range(SNAP_POLYS):
+        lat = -35.0 + 7.5 * k
+        lng = 30.0 * k - 150.0
+        base = Loop.make_regular(lat, lng, 4.0 + (k % 3), 9 + (k % 4)).vertices
+        dirty = []
+        for j, v in enumerate(base):
+            dirty.append(v)
+            if j % 3 == 0:  # inject a near-duplicate after every 3rd vertex
+                la = math.degrees(math.asin(max(-1.0, min(1.0, v[2])))) + 1e-8
+                lo = math.degrees(math.atan2(v[1], v[0])) - 1e-8
+                lar, lor = math.radians(la), math.radians(lo)
+                dirty.append(
+                    (
+                        math.cos(lar) * math.cos(lor),
+                        math.cos(lar) * math.sin(lor),
+                        math.sin(lar),
+                    )
+                )
+        out.append((k, [dirty]))
+    return out
+
+
+def snap_polygons_sql() -> str:
+    """Distinct E4 snap sites per dirty polygon, derived INDEPENDENTLY:
+    round-half-away(lat * 1e4) / 1e4 on the same vertex literals the
+    engine ingests (builder-v2 IntLatLngSnapFunction semantics; merging of
+    near-duplicates falls out of DISTINCT because duplicates round to the
+    same grid point)."""
+    rows = []
+    for pid, loops in snap_fixture_polys():
+        for loop in loops:
+            for v in loop:
+                la = math.degrees(math.asin(max(-1.0, min(1.0, v[2]))))
+                lo = math.degrees(math.atan2(v[1], v[0]))
+                rows.append(f"({pid}, {format(la, '.17e')}, {format(lo, '.17e')})")
+    e = 10 ** SNAP_EXPONENT
+    return f"""
+WITH v(poly_id, lat, lng) AS (VALUES {", ".join(rows)})
+SELECT DISTINCT poly_id,
+       round(round(lat * {e}e0) / {e}e0, 6) + 0e0 AS vlat,
+       round(round(lng * {e}e0) / {e}e0, 6) + 0e0 AS vlng
+FROM v
+"""

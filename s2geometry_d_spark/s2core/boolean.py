@@ -418,13 +418,38 @@ def overlay_degenerate(poly_a, poly_b, op: str) -> list[list[tuple]]:
     return _stitch(kept)
 
 
-def overlay_snapped(poly_a, poly_b, op: str, snap_level: int = 20) -> list[list[tuple]]:
+def overlay_snapped(
+    poly_a, poly_b, op: str, snap_level: int = 20, snap_fn=None
+) -> list[list[tuple]]:
     """The reference's full pipeline shape for dirty inputs: snap both
     operands to level-L cell centers (s2builder.d snap rounding — vertices
     within the snap radius become EXACTLY equal floats), then run the
     degeneracy-tolerant overlay on the now-coincident geometry.  Collapsed
-    operands follow the boolean identities (empty ∩ X = empty, etc.)."""
+    operands follow the boolean identities (empty ∩ X = empty, etc.).
+
+    ``snap_fn`` (a builder-v2 SnapFunction) replaces the plain cell-center
+    snap with the FULL snap-rounding pipeline — self-intersection
+    splitting, site merging, edge rerouting (s2builder.d) — before the
+    overlay: the dirty-input path."""
     from .builder import snap_polygon
+
+    if snap_fn is not None:
+        from .builder import build_polygon
+        from .loops import Loop, Polygon
+
+        def rebuild(poly):
+            loops, _ = build_polygon([lp.vertices for lp in poly.loops], snap_fn)
+            return Polygon([Loop(vs) for vs in loops], poly.poly_id) if loops else None
+
+        a, b = rebuild(poly_a), rebuild(poly_b)
+        if a is None or b is None:
+            if op == "intersection":
+                return []
+            if op in ("union", "symmetric_difference"):
+                survivor = a or b
+                return [lp.vertices for lp in survivor.loops] if survivor else []
+            return [lp.vertices for lp in a.loops] if a else []
+        return overlay_degenerate(a, b, op)
 
     a = snap_polygon(poly_a, snap_level)
     b = snap_polygon(poly_b, snap_level)

@@ -1,0 +1,122 @@
+"""Unified mixed-shape index (s2shape_index.d:34-148 contract): one table
+holds points, polylines and polygons; every consumer (PIP, crossing, range
+scan) probes the same artifact with hash parity vs the split paths."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from conftest import SF_DIR
+
+from s2geometry_d_spark.operators.crossing import crossing_edges_join
+from s2geometry_d_spark.operators.knn import register_edges
+from s2geometry_d_spark.operators.poly_index import (
+    build_polygon_index,
+    points_in_polygons_table,
+    polygons_dataframe,
+)
+from s2geometry_d_spark.operators.shape_index import (
+    crossing_edges_unified,
+    points_in_shapes,
+    shapes_in_cell_range,
+    unified_shape_index,
+)
+from s2geometry_d_spark.plans import demo
+from s2geometry_d_spark.sources import tables
+
+
+def _fixture(spark):
+    from pyspark.sql import Window as W
+
+    regions = demo.many_poly_regions()[:80]
+    polys_df = polygons_dataframe(spark, regions)
+    pts = tables.spatial_points(spark, SF_DIR).limit(500)
+    w = W.orderBy("point_id")
+    edges_df = (
+        pts.limit(200)
+        .withColumn("blat", F.lead("lat").over(w))
+        .withColumn("blng", F.lead("lng").over(w))
+        .filter(F.col("blat").isNotNull())
+        .select(
+            F.col("point_id").cast("string").alias("edge_id"),
+            F.col("lat").alias("alat"),
+            F.col("lng").alias("alng"),
+            "blat",
+            "blng",
+        )
+    )
+    return pts, edges_df, polys_df, regions
+
+
+def test_unified_pip_matches_split_path(spark):
+    pts, edges_df, polys_df, regions = _fixture(spark)
+    idx = unified_shape_index(
+        points_df=pts, edges_df=edges_df, polys_df=polys_df
+    ).persist()
+    try:
+        got = {
+            (r["poly_id"], r["point_id"])
+            for r in points_in_shapes(pts, idx)
+            .select("poly_id", "point_id")
+            .collect()
+        }
+        split = build_polygon_index(polys_df)
+        want = {
+            (r["poly_id"], r["point_id"])
+            for r in points_in_polygons_table(pts, split)
+            .select("poly_id", "point_id")
+            .collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        idx.unpersist()
+
+
+def test_unified_crossing_matches_split_path(spark):
+    pts, edges_df, polys_df, _ = _fixture(spark)
+    idx = unified_shape_index(edges_df=edges_df, polys_df=polys_df).persist()
+    targets = [
+        ("t0", (-10.0, -40.0), (25.0, 60.0)),
+        ("t1", (40.0, -120.0), (-35.0, 80.0)),
+    ]
+    try:
+        got = {
+            (r["target_id"], r["edge_id"])
+            for r in crossing_edges_unified(idx, targets).collect()
+        }
+        reg = register_edges(edges_df)
+        try:
+            want = {
+                (r["target_id"], str(r["edge_id"]))
+                for r in crossing_edges_join(edges_df, targets, registered_df=reg)
+                .select("target_id", "edge_id")
+                .collect()
+            }
+        finally:
+            reg.unpersist()
+        assert got == want and len(want) > 0
+    finally:
+        idx.unpersist()
+
+
+def test_range_scan_returns_mixed_dimensions(spark):
+    """A cell-range locate over the unified table surfaces shapes of every
+    dimension in one query — the heterogeneous-index contract."""
+    pts, edges_df, polys_df, _ = _fixture(spark)
+    idx = unified_shape_index(
+        points_df=pts, edges_df=edges_df, polys_df=polys_df
+    ).persist()
+    try:
+        # full-sphere range: every shape of every family
+        lo, hi = -(1 << 63), (1 << 63) - 1
+        dims = {
+            r["dim"]
+            for r in shapes_in_cell_range(idx, lo, hi).select("dim").distinct().collect()
+        }
+        assert dims == {0, 1, 2}
+        n_shapes = shapes_in_cell_range(idx, lo, hi).count()
+        n_pts = pts.count()
+        n_edges = edges_df.count()
+        assert n_shapes == n_pts + n_edges + 80
+    finally:
+        idx.unpersist()
