@@ -227,6 +227,47 @@ def tile_cells(
             cells = sorted(set(cells) | set(cap_cells))
             padded = (cells + [cells[0]] * (_K * _K))[: _K * _K]
             signed[r] = ci.to_signed(np.array(padded, dtype=np.uint64))
+
+    # ---- exact conservative prune of the pad ring (round-5) ----
+    # A candidate cell can only touch the tile if its lat/lng rect bound
+    # intersects the tile rect.  Corner extremes bound a cell's lng range
+    # EXACTLY for non-polar cells (longitude is strictly monotone along a
+    # non-polar great-circle edge), and bound its lat range up to the
+    # poleward bulge of an edge — <= (edge_len^2 / 8) * tan(max |lat|)
+    # (the S2LatLngRectBounder expansion).  Cells near the poles or with
+    # wrap-ambiguous corners are kept unconditionally.  Only provably
+    # non-touching cells are dropped, so the covering stays a superset and
+    # the 81-probe containment oracle still gates completeness.
+    k2 = _K * _K
+    flat = signed.reshape(-1)
+    uns = ci.from_signed(flat)
+    vx, vy, vz = ci.cells_vertices(uns)  # (m, 4)
+    clat = np.degrees(np.arcsin(np.clip(vz, -1.0, 1.0)))
+    clng = np.degrees(np.arctan2(vy, vx))
+    mid = np.repeat(0.5 * (lo0 + lo1), k2)
+    rel = ((clng - mid[:, None] + 540.0) % 360.0) - 180.0
+    lat_lo_c, lat_hi_c = clat.min(axis=1), clat.max(axis=1)
+    lng_lo_c, lng_hi_c = rel.min(axis=1), rel.max(axis=1)
+    lvl_c = ci.level(uns)
+    elen = metrics.MAX_EDGE.deriv * np.exp2(-lvl_c.astype(np.float64))
+    phi = np.radians(np.minimum(np.abs(clat).max(axis=1), 85.0))
+    slack = np.degrees(elen * elen / 8.0 * np.tan(phi)) + 1e-9
+    half_w = np.repeat(0.5 * (lo1 - lo0), k2)
+    t_la0 = np.repeat(la0, k2)
+    t_la1 = np.repeat(la1, k2)
+    polar = (np.abs(clat).max(axis=1) > 85.0) | ((lng_hi_c - lng_lo_c) > 180.0)
+    separated = (
+        (lat_hi_c + slack < t_la0)
+        | (lat_lo_c - slack > t_la1)
+        | (lng_hi_c + 1e-9 < -half_w)
+        | (lng_lo_c - 1e-9 > half_w)
+    )
+    keep = (polar | ~separated).reshape(n, k2)
+    none_kept = ~keep.any(axis=1)
+    if none_kept.any():  # cannot happen (center cell touches); keep all
+        keep[none_kept] = True
+    filler = signed[np.arange(n), keep.argmax(axis=1)]
+    signed = np.where(keep, signed, filler[:, None])
     return pd.Series(list(signed))
 
 
@@ -401,12 +442,22 @@ def image_tile_assignment(
     extent_col: str = "extent_deg",
     id_col: str = "image_id",
     known_extents: list[float] | None = None,
+    target_cells: float | None = 2.0,
 ) -> DataFrame:
     """(image_id, tile_x, tile_y, level, cell_id) — one row per touched cell.
 
     Tile (tx, ty) covers the [tx/G, (tx+1)/G) x [ty/G, (ty+1)/G) fraction of
     the footprint rect centered at (lat, lng).
-    """
+
+    ``target_cells`` picks the covering level PER TILE from the tile's own
+    exact spherical area (coarsest level whose average cell area is <=
+    tile_area / target_cells — the AVG_AREA closed form, pure expressions,
+    no lookup join): high-latitude tiles are physically smaller (lng arc
+    shrinks by cos(lat)) and automatically index finer, where the global
+    extent-derived level over-covered them worst (round-4 verdict #9 —
+    the flat TILE_LEVEL_OFFSET bought tightness with +53% rows
+    everywhere).  ``target_cells=None`` restores the legacy global
+    per-extent level (+offset) path."""
     g = F.lit(float(GRID))
     half = F.col(extent_col) / 2.0
     # project away payload columns (bytes!) BEFORE the 16x tile explode —
@@ -423,19 +474,40 @@ def image_tile_assignment(
         .withColumn("lat1", F.greatest(F.lit(-89.9), F.least(F.lit(89.9), F.col("lat1"))))
     )
 
-    # level per image from the tile extent: extents are low-cardinality, so
-    # resolve levels driver-side and broadcast-join the lookup (no UDF).
-    # Pass known_extents when the source is generated (a distinct() here
-    # would force a full extra evaluation of the source just for the lookup).
-    spark = images.sparkSession
-    distinct_extents = known_extents or [
-        r[0] for r in images.select(extent_col).distinct().collect()
-    ]
-    lookup = spark.createDataFrame(
-        [(float(e), tile_level_for_extent(float(e))) for e in distinct_extents],
-        [extent_col, "level"],
-    )
-    tiles = tiles.join(F.broadcast(lookup), extent_col)
+    if target_cells is not None:
+        # per-tile level: coarsest L with AVG_AREA(L) <= tile_area/target,
+        # i.e. L = ceil(log4(deriv * target / tile_area)), clamped.  The
+        # exact spherical tile area is dlng_rad * (sin lat1 - sin lat0) —
+        # the same closed form tile_assignment_stats scores with.
+        tile_area = (
+            F.radians(F.col("lng1") - F.col("lng0"))
+            * (F.sin(F.radians(F.col("lat1"))) - F.sin(F.radians(F.col("lat0"))))
+        )
+        raw = F.ceil(
+            F.log(
+                F.lit(float(metrics.AVG_AREA.deriv) * float(target_cells))
+                / F.greatest(tile_area, F.lit(1e-300))
+            )
+            / F.log(F.lit(4.0))
+        ).cast("int")
+        tiles = tiles.withColumn(
+            "level", F.greatest(F.lit(0), F.least(F.lit(30), raw))
+        )
+    else:
+        # level per image from the tile extent: extents are low-cardinality,
+        # so resolve levels driver-side and broadcast-join the lookup (no
+        # UDF).  Pass known_extents when the source is generated (a
+        # distinct() here would force a full extra evaluation of the source
+        # just for the lookup).
+        spark = images.sparkSession
+        distinct_extents = known_extents or [
+            r[0] for r in images.select(extent_col).distinct().collect()
+        ]
+        lookup = spark.createDataFrame(
+            [(float(e), tile_level_for_extent(float(e))) for e in distinct_extents],
+            [extent_col, "level"],
+        )
+        tiles = tiles.join(F.broadcast(lookup), extent_col)
 
     # explode the UDF call INLINE: materializing it via withColumn first
     # lets InferFiltersFromGenerate slip a size()>0 Filter between the UDF

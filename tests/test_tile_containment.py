@@ -94,9 +94,10 @@ def test_assignment_levels_do_not_exceed_requested(spark, adversarial_images):
 def test_tile_assignment_tightness_pinned(spark):
     """Tightness bound (the round-3 verdict's over-assignment blind spot):
     median covered-area/tile-area ratio and the structural cell cap are
-    pinned so a regression toward quiet bloat fails loudly.  Measured at
-    TILE_LEVEL_OFFSET=1: median ~8.4, p90 ~19 (backstop/border tiles own
-    the tail by construction)."""
+    pinned so a regression toward quiet bloat fails loudly.  Round-5
+    numbers (per-tile area level + exact pad prune): median ~2.7, p90
+    ~4.5 at sf0.01 — the pin leaves headroom for fixture variation but
+    fails on any return of the un-pruned pad ring (median ~8.4)."""
     import pyspark.sql.functions as F
 
     import __spark_entry__ as e
@@ -108,7 +109,7 @@ def test_tile_assignment_tightness_pinned(spark):
         F.max("n_cells").alias("max_cells"),
         F.min("area_ratio").alias("min_ratio"),
     ).collect()[0]
-    assert row["med"] < 12.0, row
+    assert row["med"] < 4.5, row
     assert row["max_cells"] <= tiling._K * tiling._K, row
     # a ratio below 1 would mean under-coverage — contradicts completeness
     assert row["min_ratio"] >= 1.0, row
