@@ -821,6 +821,12 @@ def _q_ann_ivf(spark, sf_dir):
     return similarity.cosine_topk_ivf(_embeddings(spark, sf_dir))
 
 
+def _q_ann_recall_stats(spark, sf_dir):
+    """Recall@5 of LSH and IVF vs the brute-force oracle as per-round DATA
+    (round-4 ask #10); lower bounds pinned in tests/test_similarity.py."""
+    return similarity.ann_recall_stats(_embeddings(spark, sf_dir))
+
+
 def _q_dedup_embedding(spark, sf_dir):
     """Embedding near-dup over a corpus with injected exact duplicates (the
     raw table has no near-dup pairs at 0.99)."""
@@ -891,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup": _q_image_dedup,
         "ann_cosine_lsh": _q_ann_lsh,
         "ann_cosine_ivf": _q_ann_ivf,
+        "ann_recall_stats": _q_ann_recall_stats,
         "dedup_embedding_cosine": _q_dedup_embedding,
         # -- training-data pipeline ops (SQL-oracled) ---------------------
         # exact dedup over a corpus with injected duplicates (the raw

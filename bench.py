@@ -65,6 +65,7 @@ EXTRA = [
     "polygon_overlay_symdiff",
     "snap_polygons",
     "pip_unified_index",
+    "ann_recall_stats",
 ]
 
 

