@@ -1,0 +1,97 @@
+"""Regenerate docs/PLANS.md: executed physical plans of flagship queries
+captured at sf0.001 (plan SHAPE is scale-invariant; the load-bearing
+properties are additionally asserted by tests/test_plan_shapes.py on every
+run).  Run:  python scripts/capture_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+SECTIONS = [
+    (
+        "pip_cap_join",
+        "the flagship covering join: broadcast membership probe, map-only on "
+        "the fact side; the match kernel evaluates ONCE (plan-pinned since "
+        "round 4)",
+    ),
+    (
+        "group_rect_bounds",
+        "binned gap scan: single fact scan (lat stats folded into the same "
+        "aggregate), no Window; round-5 rewrite folds the driver phase with "
+        "numpy and sizes bins so refinement never scans twice at this "
+        "density — the result is a LocalRelation select",
+    ),
+    (
+        "dedup_minhash_lsh",
+        "one (band, sig) exchange shared by cap window and bucket groupBy",
+    ),
+    (
+        "knn_join",
+        "driver-assembled result: LocalRelation, no live probe lineage",
+    ),
+    (
+        "pip_many_poly_table",
+        "index-table PIP: prefix equi-join + row-payload parity, no driver "
+        "geometry",
+    ),
+    (
+        "tile_assignment",
+        "round-5 shape: per-tile area level (pure expressions, no lookup "
+        "join) and ONE ArrowEvalPython for tile_cells — the explode consumes "
+        "the UDF call inline, so InferFiltersFromGenerate cannot split it "
+        "into a doubled kernel (the round-4 finding)",
+    ),
+    (
+        "tile_containment_check",
+        "single-exchange ancestor equi-join, no interpreted exists(), no "
+        "per-probe array duplication; the per-tile aggregate subtree is "
+        "localCheckpointed so three consumers read it once",
+    ),
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.python.unix.domain.socket.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    out = [
+        "# PLANS — executed physical plans of flagship queries",
+        "",
+        "Captured with `explain` at sf0.001 (plans are scale-invariant in "
+        "shape); tests/test_plan_shapes.py asserts the load-bearing "
+        "properties on every run.  Regenerate with "
+        "`python scripts/capture_plans.py`.",
+        "",
+    ]
+    for name, note in SECTIONS:
+        df = qs[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # clip very long lines (plans embed full literal lists)
+        lines = [ln[:160] for ln in plan.splitlines()]
+        out += [f"## {name}", f"*{note}*", "", "```", *lines, "```", ""]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "docs", "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote docs/PLANS.md")
+    spark.stop()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
