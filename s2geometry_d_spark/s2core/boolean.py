@@ -614,3 +614,12 @@ def loops_signed_area(loops) -> float:
         for i in range(1, len(vs) - 1):
             total += signed_triangle_area(vs[0], vs[i], vs[i + 1])
     return total
+
+
+def regions_equal(poly_a, poly_b) -> bool:
+    """S2BooleanOperation.equals (s2boolean_operation.d:551-560): two
+    regions are equal iff their symmetric difference is empty — runs the
+    degeneracy-tolerant walk so operands sharing boundary geometry (same
+    region, different loop starting points / vertex counts along straight
+    runs) compare correctly."""
+    return overlay_degenerate(poly_a, poly_b, "symmetric_difference") == []

@@ -462,3 +462,29 @@ def test_clip_polyline_models_agree_off_boundary():
     # the top boundary edge is a geodesic (sags poleward of the lat-10
     # parallel), so the inside run is slightly longer than 10 deg
     assert abs(lens["semi_open"] - 10.0) < 0.1
+
+
+def test_regions_equal_via_empty_symdiff():
+    """S2BooleanOperation.equals semantics: symdiff-empty equality is
+    invariant to the loop's starting vertex and detects real differences."""
+    lp = Loop.make_regular(12.0, 34.0, 5.0, 10)
+    a = Polygon([lp], "a")
+    rotated = Polygon([Loop(lp.vertices[3:] + lp.vertices[:3])], "b")
+    assert B.regions_equal(a, rotated)
+    assert B.regions_equal(rotated, a)
+    smaller = Polygon([Loop.make_regular(12.0, 34.0, 4.9, 10)], "c")
+    assert not B.regions_equal(a, smaller)
+    # a vertex ON an edge (collinear split point) does not change the region
+    import math as _m
+
+    def xyz(lat, lng):
+        la, lo = _m.radians(lat), _m.radians(lng)
+        z = 0.0 if lat == 0.0 else _m.sin(la)
+        c = 1.0 if lat == 0.0 else _m.cos(la)
+        return (c * _m.cos(lo), c * _m.sin(lo), z)
+
+    sq = Polygon([Loop([xyz(0, 0), xyz(0, 10), xyz(10, 10), xyz(10, 0)])], "s")
+    split = Polygon(
+        [Loop([xyz(0, 0), xyz(0, 5), xyz(0, 10), xyz(10, 10), xyz(10, 0)])], "t"
+    )
+    assert B.regions_equal(sq, split)
