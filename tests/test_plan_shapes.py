@@ -212,7 +212,13 @@ def test_tile_assignment_evaluates_kernel_once(spark, entrymod):
     between the Arrow kernel and the Generate, so the kernel evaluated
     TWICE per tile row (same bug class as the round-3 covering-match
     doubling).  Both tiling queries must evaluate ``tile_cells`` exactly
-    once."""
+    once.
+
+    The pin is about the UN-CACHED plan shape: if an earlier test cached a
+    tile-assignment lineage, the substituted InMemoryRelation's stored
+    build plan adds a second TEXTUAL tile_cells occurrence that is never
+    re-executed — clear the cache so the count means evaluations."""
+    spark.catalog.clearCache()
     for q in ("tile_assignment", "tile_assignment_stats"):
         df = entrymod.queries()[q](spark, SF_DIR)
         plan = _plan(df)
