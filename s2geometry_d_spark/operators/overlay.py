@@ -100,6 +100,7 @@ def clip_polylines_to_polygon(
     seq_col: str = "seq",
     keep_inside: bool = True,
     registered_df: DataFrame | None = None,
+    polygon_model: str = "semi_open",
 ) -> DataFrame:
     """Clip a TABLE of polylines to a (broadcast) polygon — the 1D boolean
     operand (S2Polyline::intersect).  ``edges_df``: one row per polyline
@@ -154,7 +155,9 @@ def clip_polylines_to_polygon(
         verts = [tuple(v) for v in np.stack([x, y, z], axis=1)]
         rows = []
         pid = int(key[0])
-        for ci, chain in enumerate(clip_polyline(verts, polygon, keep_inside)):
+        for ci, chain in enumerate(
+            clip_polyline(verts, polygon, keep_inside, polygon_model=polygon_model)
+        ):
             for v in chain:
                 rows.append((pid, ci, v[0], v[1], v[2]))
         return pd.DataFrame(
