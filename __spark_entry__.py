@@ -380,6 +380,26 @@ def _q_crossing_edges(spark, sf_dir):
     return out.select("target_id", "edge_id")
 
 
+def _q_crossing_unified(spark, sf_dir):
+    """Same crossing-edge query probed through the UNIFIED mixed-shape
+    index (dim=1 slice reconstructs the registered-edge view) — shares the
+    det-product oracle with crossing_edges_join, so hash parity across
+    artifacts is driver-checked every round."""
+    from s2geometry_d_spark.operators.shape_index import (
+        crossing_edges_unified,
+        unified_shape_index,
+    )
+
+    key = (spark.sparkContext.applicationId, "unified_edges_index", sf_dir)
+    cached = _POLY_INDEX_CACHE.get(key)
+    if cached is None:
+        idx = unified_shape_index(edges_df=_edges(spark, sf_dir)).persist()
+        cached = _POLY_INDEX_CACHE[key] = (idx, None)
+    idx, _ = cached
+    out = crossing_edges_unified(idx, _crossing_targets())
+    return out.select("target_id", F.col("edge_id").cast("long").alias("edge_id"))
+
+
 WITHIN_QUERIES = [("q1", 48.85, 2.35), ("q2", -33.86, 151.21), ("q3", 10.0, 179.9)]
 WITHIN_RADIUS = 8.0
 
@@ -866,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_polyline_join": _q_nearest_polyline,
         "polyline_within_distance": _q_polyline_within_distance,
         "crossing_edges_join": _q_crossing_edges,
+        "crossing_unified_index": _q_crossing_unified,
         "polygon_overlay": _q_polygon_overlay_op("intersection"),
         "clip_polylines": _q_clip_polylines,
         "polygon_union_many": _q_polygon_union_many,
@@ -876,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlay_holes": _q_polygon_overlay_holes("intersection"),
         "polygon_overlay_holes_diff": _q_polygon_overlay_holes("difference", flip=True),
         "polygon_overlay_holes_union": _q_polygon_overlay_holes("union"),
+        "polygon_overlay_holes_symdiff": _q_polygon_overlay_holes("symmetric_difference"),
         "snap_polygons": _q_snap_polygons,
         "within_distance_join": _q_within_distance,
         "within_distance_polyline": _q_within_polyline,
@@ -1764,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_polyline_join": _nearest_polyline_sql(),
         "polyline_within_distance": _nearest_polyline_sql(k=5, max_dist_deg=_PL_WITHIN_DEG),
         "crossing_edges_join": _crossing_edges_sql(),
+        "crossing_unified_index": _crossing_edges_sql(),
         "polygon_overlay": demo.overlay_sql("intersection"),
         "polygon_overlay_union": demo.overlay_sql("union"),
         "polygon_overlay_diff": demo.overlay_sql("difference"),
@@ -1771,6 +1794,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_overlay_holes": demo.overlay_holes_sql("intersection"),
         "polygon_overlay_holes_diff": demo.overlay_holes_sql("difference", flip=True),
         "polygon_overlay_holes_union": demo.overlay_holes_sql("union"),
+        "polygon_overlay_holes_symdiff": demo.overlay_holes_sql("symmetric_difference"),
         "snap_polygons": demo.snap_polygons_sql(),
         "clip_polylines": _clip_polylines_sql(),
         "polygon_union_many": demo.union_many_sql(),

@@ -391,6 +391,9 @@ def overlay_holes_sql(op: str, flip: bool = False) -> str:
         "intersection": (True, True),   # keep A-verts inside B, B-verts inside A
         "union": (False, False),
         "difference": (False, True),    # A-verts outside B, B-verts inside A
+        # symmetric difference keeps EVERY original vertex (each bounds
+        # exactly one of the A-B / B-A pieces) and every crossing TWICE
+        "symmetric_difference": (None, None),
     }
     want_a_inside, want_b_inside = cmp_pairs[op]
 
@@ -411,7 +414,9 @@ def overlay_holes_sql(op: str, flip: bool = False) -> str:
                     f"({k}, {l}, {j}, {len(vs)}, {lit(v[0])}, {lit(v[1])}, {lit(v[2])})"
                 )
 
-    def keep_having(det: str, inside: bool) -> str:
+    def keep_having(det: str, inside) -> str:
+        if inside is None:  # symmetric difference: keep all
+            return "count(*) >= 0"
         shell = f"min(CASE WHEN e.l = 0 THEN {det} END)"
         hole = f"max(CASE WHEN e.l = 1 THEN {det} END)"
         if inside:
@@ -492,7 +497,7 @@ allv AS (
   SELECT pair_id, sx / sqrt(sx*sx + sy*sy + sz*sz),
          sy / sqrt(sx*sx + sy*sy + sz*sz),
          sz / sqrt(sx*sx + sy*sy + sz*sz)
-  FROM xsigned
+  FROM xsigned{_SYMDIFF_SECOND_CROSSING if op == "symmetric_difference" else ""}
 )
 SELECT pair_id, round(x, 6) AS vx, round(y, 6) AS vy, round(z, 6) AS vz FROM allv
 """
