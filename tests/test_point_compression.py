@@ -83,3 +83,32 @@ def test_cell_level_detection():
     assert all(lvl == level for _, _, _, lvl in fst)
     off = pc.points_to_face_si_ti([latlng_point(1.234, 5.678)])
     assert off[0][3] == -1
+
+
+def test_property_random_levels_round_trip():
+    """Property corpus (hypothesis-style randomized, fixed seeds for
+    determinism): arbitrary cell centers at mixed positions round-trip
+    exactly at their own level; mixing in off-center points at any index
+    keeps the stream lossless."""
+    import random
+
+    rnd = random.Random(20260817)
+    for trial in range(25):
+        level = rnd.randrange(1, 31)
+        n = rnd.randrange(1, 30)
+        lats = [rnd.uniform(-89.0, 89.0) for _ in range(n)]
+        lngs = [rnd.uniform(-180.0, 180.0) for _ in range(n)]
+        ids = []
+        for la, ln in zip(lats, lngs):
+            cell = ci.from_latlng(np.array([la]), np.array([ln]))
+            ids.append(int(ci.parent(cell, np.array([level]))[0]))
+        x, y, z = ci.to_xyz(np.array(ids, dtype=np.uint64))
+        pts = np.stack([x, y, z], axis=1)
+        # sprinkle off-center points
+        for _ in range(rnd.randrange(0, 3)):
+            pts[rnd.randrange(n)] = latlng_point(
+                rnd.uniform(-89, 89), rnd.uniform(-180, 180)
+            )
+        data = pc.encode_points_compressed(pts, level)
+        got = pc.decode_points_compressed(data, level, n)
+        assert (got == pts).all(), (trial, level, n)
