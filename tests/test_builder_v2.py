@@ -193,3 +193,12 @@ def test_overlay_snapped_with_snap_fn():
         # perimeter ~ 2*pi*6 deg, vertex movement <= snap radius => area
         # shift bounded well below 1e-4 sr
         assert abs(snapped - clean) < 1e-4, (op, snapped, clean)
+
+
+def test_identity_zero_radius_is_noop():
+    """IdentitySnapFunction with snap_radius 0 must reproduce the input
+    exactly (the reference's default no-snapping configuration)."""
+    sq = [xyz(3.0, 4.0), xyz(3.0, 9.0), xyz(8.0, 9.0), xyz(8.0, 4.0)]
+    loops, depths = B2.build_polygon([sq], B2.IdentitySnapFunction(0.0))
+    assert depths == [0]
+    assert sorted(loops[0]) == sorted(sq)
