@@ -255,6 +255,28 @@ def _q_knn_edges(spark, sf_dir):
     return res.select("query_id", "rank", "edge_id")
 
 
+def _q_knn_unified(spark, sf_dir):
+    """Closest-edge kNN probed through the UNIFIED mixed-shape index — the
+    third consumer of the one-artifact-many-queries contract
+    (s2shape_index.d); shares the brute-force-derivable oracle with
+    knn_edges_join."""
+    from s2geometry_d_spark.operators.shape_index import knn_edges_unified
+
+    key = (spark.sparkContext.applicationId, "unified_edges_index", sf_dir)
+    cached = _POLY_INDEX_CACHE.get(key)
+    if cached is None:
+        from s2geometry_d_spark.operators.shape_index import unified_shape_index
+
+        idx = unified_shape_index(edges_df=_edges(spark, sf_dir)).persist()
+        cached = _POLY_INDEX_CACHE[key] = (idx, None)
+    idx, _ = cached
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count() - 1
+    res = knn_edges_unified(idx, demo.knn_queries(), k=5, n_edges_hint=n)
+    return res.select(
+        "query_id", "rank", F.col("edge_id").cast("long").alias("edge_id")
+    )
+
+
 _POLYLINE_CHAIN = 100  # consecutive fixture edges per polyline
 
 
@@ -879,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_antijoin": _q_spatial_antijoin,
         "knn_join": _q_knn,
         "knn_edges_join": _q_knn_edges,
+        "knn_unified_index": _q_knn_unified,
         "knn_edges_maxdist": _q_knn_edges_maxdist,
         "knn_edges_maxerror": _q_knn_edges_maxerror,
         "knn_edge_targets": _q_knn_edge_targets,
@@ -1779,6 +1802,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_antijoin": _spatial_antijoin_sql(),
         "knn_join": _knn_sql(),
         "knn_edges_join": _knn_edges_sql(),
+        "knn_unified_index": _knn_edges_sql(),
         "knn_edges_maxdist": _knn_edges_maxdist_sql(),
         "knn_edges_maxerror": _knn_edges_sql(),
         "knn_edge_targets": _knn_edge_targets_sql(),

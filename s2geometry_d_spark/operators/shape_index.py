@@ -194,14 +194,7 @@ def crossing_edges_unified(
     crossingSign.  Returns (target_id, edge_id)."""
     from .crossing import crossing_edges_join
 
-    e = index_df.filter(F.col("dim") == 1).select(
-        F.col("shape_id").alias("edge_id"),
-        F.col("cell_signed").alias("ecell"),
-        F.degrees(F.asin(F.col("ea")[0][2])).alias("alat"),
-        F.degrees(F.atan2(F.col("ea")[0][1], F.col("ea")[0][0])).alias("alng"),
-        F.degrees(F.asin(F.col("eb")[0][2])).alias("blat"),
-        F.degrees(F.atan2(F.col("eb")[0][1], F.col("eb")[0][0])).alias("blng"),
-    )
+    e = registered_edges_view(index_df)
     return crossing_edges_join(e, target_edges, registered_df=e).select(
         "target_id", "edge_id"
     )
@@ -220,3 +213,27 @@ def shapes_in_cell_range(index_df: DataFrame, lo_signed: int, hi_signed: int) ->
         .select("shape_id", "dim")
         .distinct()
     )
+
+
+def registered_edges_view(index_df: DataFrame) -> DataFrame:
+    """The dim=1 slice as the registered-edge view (edge_id, ecell, lat/lng
+    endpoints) every edge consumer understands — ONE build artifact serves
+    crossing joins, closest-edge kNN and polyline clipping alike."""
+    return index_df.filter(F.col("dim") == 1).select(
+        F.col("shape_id").alias("edge_id"),
+        F.col("cell_signed").alias("ecell"),
+        F.degrees(F.asin(F.col("ea")[0][2])).alias("alat"),
+        F.degrees(F.atan2(F.col("ea")[0][1], F.col("ea")[0][0])).alias("alng"),
+        F.degrees(F.asin(F.col("eb")[0][2])).alias("blat"),
+        F.degrees(F.atan2(F.col("eb")[0][1], F.col("eb")[0][0])).alias("blng"),
+    )
+
+
+def knn_edges_unified(index_df: DataFrame, queries: list, k: int, **kwargs) -> DataFrame:
+    """Closest-EDGE kNN probed through the unified table: the dim=1 slice
+    feeds the standard ring-expansion search as its prebuilt registration
+    (s2closest_edge_query.d over one heterogeneous artifact)."""
+    from .knn import knn_edges_join
+
+    e = registered_edges_view(index_df)
+    return knn_edges_join(e.drop("ecell"), queries, k, registered_df=e, **kwargs)
