@@ -130,3 +130,42 @@ def chord2_expr(px, py, pz, qx: float, qy: float, qz: float) -> Column:
     dy = F.col(py) - F.lit(qy)
     dz = F.col(pz) - F.lit(qz)
     return dx * dx + dy * dy + dz * dz
+
+
+def compress_cell_points_udf(level: int):
+    """array<array<double>> xyz vertices -> BINARY compressed stream
+    (s2point_compression.d layout; ~1-4 bytes/vertex for cell-center
+    chains vs 24 raw) — the storage codec for geometry columns: polyline
+    vertex chains, cell-center tracks, snapped boundaries.  Pair with
+    :func:`decompress_cell_points_udf` at the same level."""
+
+    @F.pandas_udf(T.BinaryType())
+    def compress(pts: pd.Series) -> pd.Series:
+        from ..s2core.point_compression import encode_points_compressed
+
+        return pd.Series(
+            [
+                encode_points_compressed([tuple(v) for v in row], level)
+                for row in pts
+            ]
+        )
+
+    return compress
+
+
+def decompress_cell_points_udf(level: int):
+    """Inverse of :func:`compress_cell_points_udf`: (binary, n) -> xyz
+    vertex arrays."""
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+    def decompress(data: pd.Series, n: pd.Series) -> pd.Series:
+        from ..s2core.point_compression import decode_points_compressed
+
+        return pd.Series(
+            [
+                [list(v) for v in decode_points_compressed(bytes(d), level, int(k))]
+                for d, k in zip(data, n)
+            ]
+        )
+
+    return decompress
