@@ -65,6 +65,9 @@ EXTRA = [
     "polygon_overlay_symdiff",
     "snap_polygons",
     "pip_unified_index",
+    "crossing_unified_index",
+    "knn_unified_index",
+    "polygon_overlay_holes_symdiff",
     "ann_recall_stats",
 ]
 
