@@ -262,3 +262,72 @@ class Polygon:
 
     def cell_union_bound(self) -> list[CellId]:
         return self.get_cap_bound().cell_union_bound()
+
+
+# --------------------------------------------------------------- validation
+
+
+def find_validation_error(loops_vertices: list) -> str | None:
+    """The reference's validity contract for loops/polygons
+    (s2loop.d:230-287 findValidationError + findSelfIntersection;
+    s2polygon.d loop-relation checks), as a single function over a list of
+    vertex-list loops.  Returns a human-readable error string, or None for
+    valid geometry.  Checks, in reference order:
+
+    1. NOT_UNIT_LENGTH — every vertex a unit vector;
+    2. LOOP_NOT_ENOUGH_VERTICES — >= 3 vertices per loop;
+    3. DUPLICATE_VERTICES — no degenerate edge (v[i] == v[i+1]);
+    4. ANTIPODAL_VERTICES — no edge between antipodal points;
+    5. LOOP_SELF_INTERSECTION — no two edges of one loop cross, and
+       non-adjacent edges may not even touch (shared vertices between
+       non-adjacent edges = duplicate vertex in the loop);
+    6. POLYGON_LOOPS_CROSS — edges of different loops may not cross.
+
+    Pairs with builder-v2 ``build_polygon``: dirty inputs FAIL here, the
+    repaired output PASSES (the validity-repair pipeline's gate)."""
+    import math as _math
+
+    from . import predicates as _pred
+
+    for li, vs in enumerate(loops_vertices):
+        for i, v in enumerate(vs):
+            n2 = v[0] * v[0] + v[1] * v[1] + v[2] * v[2]
+            if abs(n2 - 1.0) > 1e-10:
+                return f"NOT_UNIT_LENGTH: loop {li} vertex {i}"
+        if len(vs) < 3:
+            return f"LOOP_NOT_ENOUGH_VERTICES: loop {li}"
+        n = len(vs)
+        for i in range(n):
+            a, b = vs[i], vs[(i + 1) % n]
+            if a == b:
+                return f"DUPLICATE_VERTICES: loop {li} edge {i} is degenerate"
+            if a == (-b[0], -b[1], -b[2]):
+                return f"ANTIPODAL_VERTICES: loop {li} edge {i}"
+        # self-intersection: any proper crossing between edges; any shared
+        # vertex between NON-adjacent edges (a repeated loop vertex)
+        for i in range(n):
+            a, b = vs[i], vs[(i + 1) % n]
+            for j in range(i + 1, n):
+                c, d = vs[j], vs[(j + 1) % n]
+                adjacent = j == i + 1 or (i == 0 and j == n - 1)
+                if _pred.crossing_sign(a, b, c, d) > 0:
+                    return f"LOOP_SELF_INTERSECTION: loop {li} edges {i},{j}"
+                if not adjacent and (c in (a, b) or d in (a, b)):
+                    return (
+                        f"DUPLICATE_VERTICES: loop {li} vertex shared by "
+                        f"non-adjacent edges {i},{j}"
+                    )
+    # cross-loop crossings
+    for li in range(len(loops_vertices)):
+        for lj in range(li + 1, len(loops_vertices)):
+            va, vb = loops_vertices[li], loops_vertices[lj]
+            for i in range(len(va)):
+                a, b = va[i], va[(i + 1) % len(va)]
+                for j in range(len(vb)):
+                    c, d = vb[j], vb[(j + 1) % len(vb)]
+                    if _pred.crossing_sign(a, b, c, d) > 0:
+                        return (
+                            f"POLYGON_LOOPS_CROSS: loop {li} edge {i} x "
+                            f"loop {lj} edge {j}"
+                        )
+    return None

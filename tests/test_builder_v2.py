@@ -202,3 +202,33 @@ def test_identity_zero_radius_is_noop():
     loops, depths = B2.build_polygon([sq], B2.IdentitySnapFunction(0.0))
     assert depths == [0]
     assert sorted(loops[0]) == sorted(sq)
+
+
+def test_validation_gate_before_and_after_repair():
+    """find_validation_error (s2loop.d:230-287 contract): dirty inputs
+    fail with the reference's error classes; builder-v2 output passes —
+    the validity-repair pipeline's entry and exit gates."""
+    from s2geometry_d_spark.s2core.loops import find_validation_error as fve
+
+    ok = [xyz(0, 0), xyz(0, 5), xyz(5, 5), xyz(5, 0)]
+    assert fve([ok]) is None
+    # each dirty class detected
+    assert "NOT_UNIT_LENGTH" in fve([[(2.0, 0.0, 0.0), xyz(0, 5), xyz(5, 5)]])
+    assert "LOOP_NOT_ENOUGH_VERTICES" in fve([[xyz(0, 0), xyz(0, 5)]])
+    assert "DUPLICATE_VERTICES" in fve([[xyz(0, 0), xyz(0, 0), xyz(0, 5), xyz(5, 5)]])
+    a = xyz(10.0, 20.0)
+    assert "ANTIPODAL_VERTICES" in fve([[a, (-a[0], -a[1], -a[2]), xyz(5, 5)]])
+    bow = [xyz(0, 0), xyz(5, 5), xyz(0, 5), xyz(5, 0)]
+    assert "LOOP_SELF_INTERSECTION" in fve([bow])
+    crossing_loops = [
+        [xyz(0, 0), xyz(0, 10), xyz(10, 10), xyz(10, 0)],
+        [xyz(5, 5), xyz(5, 15), xyz(15, 15), xyz(15, 5)],
+    ]
+    assert "POLYGON_LOOPS_CROSS" in fve(crossing_loops)
+    # repair: the bowtie through builder v2 -> output validates clean
+    loops, _ = B2.build_polygon([bow], B2.IntLatLngSnapFunction(6))
+    assert fve(loops) is None
+    # hole polygon (non-crossing nested loops) is valid as-is
+    shell = Loop.make_regular(10.0, 40.0, 8.0, 12).vertices
+    hole = list(reversed(Loop.make_regular(10.2, 40.1, 3.0, 9).vertices))
+    assert fve([shell, hole]) is None
