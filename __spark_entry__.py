@@ -560,6 +560,26 @@ def _q_snap_polygons(spark, sf_dir):
     return snap_polygons_table(df, exponent=demo.SNAP_EXPONENT)
 
 
+def _q_validate_polygons(spark, sf_dir):
+    """Distributed ingestion validation (s2loop.d findValidationError as a
+    table operator): clean loops, bowties and multi-crossing zigzags; the
+    oracle re-derives the self-crossing count with the det-product proper-
+    crossing form over the same vertex literals (adjacent pairs excluded —
+    shared-vertex dets are exact zeros that float as noise)."""
+    from s2geometry_d_spark.operators.overlay import (
+        dirty_polygons_dataframe,
+        validate_polygons_table,
+    )
+
+    df = dirty_polygons_dataframe(spark, demo.validation_fixture_polys())
+    out = validate_polygons_table(df)
+    return out.select(
+        "poly_id",
+        (F.col("n_self_crossings") == 0).alias("is_valid_by_crossings"),
+        "n_self_crossings",
+    )
+
+
 def _q_polygon_overlay_holes(op, flip=False):
     """Overlay over polygons WITH HOLES (annulus vs disc across the five
     topological configurations; s2polygon.d:129+ nesting over
@@ -922,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlay_holes_union": _q_polygon_overlay_holes("union"),
         "polygon_overlay_holes_symdiff": _q_polygon_overlay_holes("symmetric_difference"),
         "snap_polygons": _q_snap_polygons,
+        "validate_polygons": _q_validate_polygons,
         "within_distance_join": _q_within_distance,
         "within_distance_polyline": _q_within_polyline,
         "group_cap_bounds": _q_group_bounds,
@@ -1820,6 +1841,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_overlay_holes_union": demo.overlay_holes_sql("union"),
         "polygon_overlay_holes_symdiff": demo.overlay_holes_sql("symmetric_difference"),
         "snap_polygons": demo.snap_polygons_sql(),
+        "validate_polygons": demo.validation_sql(),
         "clip_polylines": _clip_polylines_sql(),
         "polygon_union_many": demo.union_many_sql(),
         "polygon_relations": demo.polygon_relations_sql(),

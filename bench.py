@@ -69,6 +69,7 @@ EXTRA = [
     "knn_unified_index",
     "polygon_overlay_holes_symdiff",
     "ann_recall_stats",
+    "validate_polygons",
 ]
 
 

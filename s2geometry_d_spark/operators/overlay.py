@@ -312,3 +312,45 @@ def snap_polygons_table(polys_df: DataFrame, exponent: int = 4) -> DataFrame:
         return pd.DataFrame(out, columns=["poly_id", "vlat", "vlng"])
 
     return polys_df.groupBy("poly_id").applyInPandas(run, SNAP_OUT_SCHEMA)
+
+
+VALIDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.IntegerType(), False),
+        T.StructField("is_valid", T.BooleanType(), False),
+        T.StructField("n_self_crossings", T.IntegerType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def validate_polygons_table(polys_df: DataFrame) -> DataFrame:
+    """Distributed ingestion validation (s2loop.d findValidationError as a
+    table operator): one applyInPandas group per polygon returns
+    (poly_id, is_valid, n_self_crossings, error).  The crossing count is
+    independently SQL-derivable (det-product form), which is what the
+    driver oracle checks; the error string carries the reference's error
+    class for the humans.  Map-only at scale — each polygon validates in
+    its own group, nothing shuffles but the tiny result."""
+    from ..s2core import predicates as pred
+    from ..s2core.loops import find_validation_error
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            loops = [[tuple(v) for v in loop] for loop in row["loops"]]
+            err = find_validation_error(loops)
+            ncross = 0
+            for vs in loops:
+                n = len(vs)
+                for i in range(n):
+                    a, b = vs[i], vs[(i + 1) % n]
+                    for j in range(i + 1, n):
+                        if pred.crossing_sign(a, b, vs[j], vs[(j + 1) % n]) > 0:
+                            ncross += 1
+            out.append((row["poly_id"], err is None, ncross, err))
+        return pd.DataFrame(
+            out, columns=["poly_id", "is_valid", "n_self_crossings", "error"]
+        )
+
+    return polys_df.groupBy("poly_id").applyInPandas(run, VALIDATE_SCHEMA)

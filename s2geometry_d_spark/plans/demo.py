@@ -892,3 +892,80 @@ SELECT DISTINCT poly_id,
        round(round(lng * {e}e0) / {e}e0, 6) + 0e0 AS vlng
 FROM v
 """
+
+
+# -- validation fixture: clean polys + bowties + multi-crossing zigzags ----
+def validation_fixture_polys():
+    """[(poly_id, [loop_vertices_xyz])]: ids 0-3 clean regular loops,
+    4-7 bowties (1 self-crossing), 8-9 double-bowtie zigzags."""
+    out = []
+    for k in range(4):
+        out.append((k, [Loop.make_regular(8.0 * k - 12.0, 25.0 * k - 70.0, 5.0, 9).vertices]))
+
+    def xyz(lat, lng):
+        la, lo = math.radians(lat), math.radians(lng)
+        return (
+            math.cos(la) * math.cos(lo),
+            math.cos(la) * math.sin(lo),
+            math.sin(la),
+        )
+
+    for k in range(4, 8):
+        o = 22.0 * k
+        out.append((k, [[xyz(0, o), xyz(5, o + 5), xyz(0, o + 5), xyz(5, o)]]))
+    for k in (8, 9):
+        o = 20.0 * k - 140.0
+        # W-shaped zigzag closed loop: multiple proper crossings
+        out.append(
+            (
+                k,
+                [[
+                    xyz(0, o), xyz(6, o + 2), xyz(0, o + 4), xyz(6, o + 6),
+                    xyz(0, o + 8), xyz(3, o - 1),
+                ]],
+            )
+        )
+    return out
+
+
+def validation_sql() -> str:
+    """Self-crossing count per polygon, derived independently with the
+    det-product proper-crossing form (s1*s2<0, s2*s3>0, s3*s4<0) over the
+    same vertex literals; count of unordered edge pairs i<j."""
+    rows = []
+    for pid, loops in validation_fixture_polys():
+        for vs in loops:
+            n = len(vs)
+            for j, v in enumerate(vs):
+                rows.append(
+                    f"({pid}, {j}, {n}, {format(v[0], '.17e')}, "
+                    f"{format(v[1], '.17e')}, {format(v[2], '.17e')})"
+                )
+    return f"""
+WITH v(poly_id, j, n, x, y, z) AS (VALUES {", ".join(rows)}),
+e AS (
+  SELECT p.poly_id, p.j, p.n, p.x AS ax, p.y AS ay, p.z AS az,
+         q.x AS bx, q.y AS by, q.z AS bz
+  FROM v p JOIN v q ON q.poly_id = p.poly_id AND q.j = (p.j + 1) % p.n
+),
+pairs AS (
+  SELECT a.poly_id,
+         (a.ay*a.bz - a.az*a.by)*b.ax + (a.az*a.bx - a.ax*a.bz)*b.ay + (a.ax*a.by - a.ay*a.bx)*b.az AS s3,
+         (a.ay*a.bz - a.az*a.by)*b.bx + (a.az*a.bx - a.ax*a.bz)*b.by + (a.ax*a.by - a.ay*a.bx)*b.bz AS s4,
+         (b.ay*b.bz - b.az*b.by)*a.ax + (b.az*b.bx - b.ax*b.bz)*a.ay + (b.ax*b.by - b.ay*b.bx)*a.az AS s1,
+         (b.ay*b.bz - b.az*b.by)*a.bx + (b.az*b.bx - b.ax*b.bz)*a.by + (b.ax*b.by - b.ay*b.bx)*a.bz AS s2
+  -- exclude ADJACENT pairs: a shared vertex makes the dets exact
+  -- zeros that floating arithmetic renders as +-1e-17 noise
+  FROM e a JOIN e b ON b.poly_id = a.poly_id AND b.j > a.j
+    AND b.j <> a.j + 1 AND NOT (a.j = 0 AND b.j = a.n - 1)
+)
+SELECT v.poly_id,
+       coalesce(c.n_self_crossings, 0) = 0 AS is_valid_by_crossings,
+       CAST(coalesce(c.n_self_crossings, 0) AS INT) AS n_self_crossings
+FROM (SELECT DISTINCT poly_id FROM v) v
+LEFT JOIN (
+  SELECT poly_id, count(*) AS n_self_crossings
+  FROM pairs WHERE s1*s2 < 0 AND s2*s3 > 0 AND s3*s4 < 0
+  GROUP BY poly_id
+) c USING (poly_id)
+"""
