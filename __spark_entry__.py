@@ -875,6 +875,28 @@ def _q_image_dedup(spark, sf_dir):
     )
 
 
+def _q_phash_neardup(spark, sf_dir):
+    """Perceptual-hash near-dup over the image table plus deterministic
+    re-encode variants.  sha256-derived phashes are uniform (the raw table
+    has no near pairs), so every 50th image gets a copy with <=3 planted
+    bit flips — a stand-in for the re-encoded copies a crawler ingests.
+    The pair construction is part of the operator definition and the oracle
+    states it identically (phash re-derived from sha256 hex end-to-end)."""
+    from s2geometry_d_spark.operators.dedup import phash_neardup_pairs
+
+    imgs = synth_images(spark, sf_dir).select("image_id", "phash")
+    i = "cast(substring(image_id, 4, 12) as bigint)"
+    flips = " ^ ".join(
+        f"shiftleft(cast(1 as bigint), cast(({i}) * {m} % 60 as int))"
+        for m in (7, 11, 27)
+    )
+    variants = imgs.filter(F.expr(f"({i}) % 50 = 0")).select(
+        F.concat(F.col("image_id"), F.lit("_v")).alias("image_id"),
+        F.expr(f"phash ^ {flips}").alias("phash"),
+    )
+    return phash_neardup_pairs(imgs.unionByName(variants))
+
+
 def _q_ann_lsh(spark, sf_dir):
     return similarity.cosine_topk_lsh(_embeddings(spark, sf_dir))
 
@@ -961,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "tile_pixel_stats": _q_tile_pixel_stats,
         "image_dedup": _q_image_dedup,
+        "phash_neardup": _q_phash_neardup,
         "ann_cosine_lsh": _q_ann_lsh,
         "ann_cosine_ivf": _q_ann_ivf,
         "ann_recall_stats": _q_ann_recall_stats,
@@ -1786,6 +1809,57 @@ FROM corpus GROUP BY sig HAVING count(*) > 1
 """
 
 
+def _phash_neardup_sql() -> str:
+    """phash re-derived end-to-end: first 8 bytes of sha256(image_id),
+    big-endian signed (sources/images.py struct '>q'); identical planted
+    flips, banding, cap and Hamming confirm as the Spark plan."""
+    return """
+WITH imgs AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         'img' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id
+  FROM documents
+),
+ph0 AS (
+  SELECT i, image_id,
+         CAST('0x' || substr(sha256(image_id), 1, 16) AS UBIGINT) AS u
+  FROM imgs
+),
+ph AS (
+  SELECT i, image_id,
+         CAST(CAST(u AS HUGEINT)
+              - CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+                     THEN CAST(18446744073709551616 AS HUGEINT)
+                     ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS phash
+  FROM ph0
+),
+corpus AS (
+  SELECT image_id, phash FROM ph
+  UNION ALL
+  SELECT image_id || '_v',
+         xor(xor(xor(phash, CAST(1 AS BIGINT) << CAST(i*7 % 60 AS INT)),
+                 CAST(1 AS BIGINT) << CAST(i*11 % 60 AS INT)),
+             CAST(1 AS BIGINT) << CAST(i*27 % 60 AS INT))
+  FROM ph WHERE i % 50 = 0
+),
+banded AS (
+  SELECT image_id, phash, b.band, (phash >> (16*b.band)) & 65535 AS bv
+  FROM corpus, (SELECT unnest([0,1,2,3]) AS band) b
+),
+capped AS (
+  SELECT *, count(*) OVER (PARTITION BY band, bv) AS bn FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b,
+         a.phash AS pa, b.phash AS pb
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bv = b.bv AND a.image_id < b.image_id
+  WHERE a.bn > 1 AND a.bn <= 200 AND b.bn > 1 AND b.bn <= 200
+)
+SELECT img_a, img_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(pa, pb)) <= 6
+"""
+
+
 def _image_verify_sql() -> str:
     """Per-row payload invariant as a gate: every image decodes above the
     PSNR threshold with a matching caption; fmt follows the id parity
@@ -1806,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
         "image_features": _image_features_sql(),
         "image_verify": _image_verify_sql(),
         "image_dedup": _image_dedup_sql(),
+        "phash_neardup": _phash_neardup_sql(),
         "cell_roundtrip_check": (
             f"SELECT o_orderkey AS point_id, true AS ok FROM orders"
         ),

@@ -70,6 +70,7 @@ EXTRA = [
     "polygon_overlay_holes_symdiff",
     "ann_recall_stats",
     "validate_polygons",
+    "phash_neardup",
 ]
 
 

@@ -128,6 +128,83 @@ def dedup_minhash_lsh(
     )
 
 
+PHASH_BANDS = 4  # 4 x 16-bit bands over the 64-bit perceptual hash
+PHASH_HAMMING_MAX = 6
+PHASH_BUCKET_CAP = 200
+
+
+def phash_neardup_pairs(
+    images: DataFrame,
+    hamming_max: int = PHASH_HAMMING_MAX,
+    bucket_cap: int = PHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance.
+
+    The input-table contract (BASELINE.json input_hint) carries a
+    ``phash:int64`` column — the standard cheap near-dup signal for
+    re-encoded / resized copies of the same picture (a re-encode perturbs a
+    few phash bits).  The operator is the phash analogue of
+    :func:`dedup_minhash_lsh`:
+
+    * band the 64 bits into ``PHASH_BANDS`` 16-bit keys
+      (``shiftright(phash, 16*b) & 0xFFFF`` — arithmetic-shift fill bits are
+      masked off, so signed semantics are engine-portable),
+    * bucket on (band, key) with the same windowed ``bucket_cap`` guard
+      (a constant-phash corpus — black thumbnails — cannot detonate the
+      within-bucket pairing),
+    * confirm candidates with the exact distance
+      ``bit_count(phash_a ^ phash_b) <= hamming_max``.
+
+    Everything is native JVM expressions (no UDF anywhere).  Pigeonhole
+    guarantee: any pair with Hamming distance < PHASH_BANDS shares at least
+    one untouched band and is ALWAYS caught; pairs in
+    [PHASH_BANDS, hamming_max] are caught unless the flips spread across
+    all bands (the standard banding trade-off, stated identically by the
+    oracle).  At 100 TB: one shuffle on high-cardinality (band, key), the
+    per-bucket explode bounded at bucket_cap^2; phashes ride inside the
+    bucket structs so no join back to the corpus is needed.
+
+    Returns distinct (img_a, img_b, hamming) with img_a < img_b.
+    """
+    from pyspark.sql import Window
+
+    ph = images.select("image_id", "phash")
+    stack_args = ", ".join(
+        f"{b}, shiftright(phash, {16 * b}) & 65535" for b in range(PHASH_BANDS)
+    )
+    banded = ph.selectExpr(
+        "image_id", "phash", f"stack({PHASH_BANDS}, {stack_args}) AS (band, bv)"
+    )
+    wb = Window.partitionBy("band", "bv")
+    capped = (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .filter((F.col("_bn") > 1) & (F.col("_bn") <= bucket_cap))
+        .drop("_bn")
+    )
+    buckets = capped.groupBy("band", "bv").agg(
+        F.collect_list(F.struct("image_id", "phash")).alias("members")
+    )
+    pairs = (
+        buckets.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.image_id") < F.col("b.image_id"))
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .select("img_a", "img_b", "hamming")
+    )
+
+
 def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit SimHash over space-separated tokens.
 

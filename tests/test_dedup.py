@@ -109,3 +109,49 @@ def test_degenerate_boilerplate_corpus_is_capped_not_quadratic(spark):
     assert D.dedup_minhash_lsh(docs).count() == 0
     groups = D.dedup_exact(docs).collect()
     assert len(groups) == 1 and groups[0]["n_docs"] == 300
+
+
+# -- phash Hamming near-dup (input_hint phash:int64) ------------------------
+
+
+def _phash_tbl(spark, rows):
+    return spark.createDataFrame(rows, ["image_id", "phash"])
+
+
+def test_phash_planted_flips_found_with_exact_hamming(spark):
+    # originals with uniform-ish phashes; one variant 3 bit-flips away
+    base = 0x123456789ABCDEF0
+    rows = [(f"img{i:03d}", base + i * 0x1111111111111) for i in range(8)]
+    flipped = rows[0][1] ^ (1 << 5) ^ (1 << 21) ^ (1 << 47)
+    rows.append(("img000_v", flipped))
+    out = dedup.phash_neardup_pairs(_phash_tbl(spark, rows)).collect()
+    assert {(r.img_a, r.img_b, r.hamming) for r in out} == {("img000", "img000_v", 3)}
+
+
+def test_phash_pigeonhole_guarantee_under_bands(spark):
+    # any pair with hamming < 4 bands shares an untouched 16-bit band:
+    # flips concentrated in ONE band must still be caught (3 flips, 1 band)
+    base = -0x7FEDCBA987654321  # negative: signed shift/mask path
+    variant = base ^ (1 << 16) ^ (1 << 18) ^ (1 << 30)  # all in band 1
+    out = dedup.phash_neardup_pairs(
+        _phash_tbl(spark, [("a", base), ("b", variant)])
+    ).collect()
+    assert [(r.img_a, r.img_b, r.hamming) for r in out] == [("a", "b", 3)]
+
+
+def test_phash_distant_pairs_rejected_even_when_banded(spark):
+    # sharing band 0 but hamming 48 elsewhere -> candidate, not a hit
+    a = 0x0000000000001234
+    b = 0x7FFFFFFFFFFF1234  # same low band, wildly different high bits
+    assert dedup.phash_neardup_pairs(_phash_tbl(spark, [("a", a), ("b", b)])).count() == 0
+
+
+def test_phash_bucket_cap_and_pure_jvm_plan(spark):
+    n = 6
+    rows = [(f"c{i}", 42) for i in range(n)]  # constant-phash corpus
+    assert dedup.phash_neardup_pairs(_phash_tbl(spark, rows), bucket_cap=n - 1).count() == 0
+    full = dedup.phash_neardup_pairs(_phash_tbl(spark, rows), bucket_cap=n)
+    assert full.count() == n * (n - 1) // 2
+    # no Python anywhere in the plan: native shift/mask/bit_count end-to-end
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
