@@ -652,6 +652,45 @@ def _q_group_rect_bounds(spark, sf_dir):
     return group_rect_bounds(pts, "band", n_bins=65536)
 
 
+def _q_text_format_roundtrip(spark, sf_dir):
+    """s2text_format as a column pipeline: format every point %.15g
+    (appendVertex parity) and re-parse the text — DuckDB's C-style printf
+    emits byte-identical strings, so the formatted text itself is part of
+    the oracled output, not just the parsed-back doubles."""
+    from s2geometry_d_spark.s2core import textformat as tf
+
+    # libm-free placement (pure %, /, *, - : IEEE exact-rounded, so the
+    # doubles are BIT-identical across engines): the spherical points table
+    # goes through asin/degrees, which differ by 1 ulp between JVM and
+    # DuckDB libm on ~0.5% of rows — invisible to the 9-digit float hash,
+    # but the 15-digit formatted TEXT is itself the data here.
+    pts = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderkey").alias("point_id"))
+        .withColumn(
+            "lat",
+            F.expr(
+                "(((point_id * 2654435761 + 12345) % 1000003) / 1000003e0) * 180e0 - 90e0"
+            ),
+        )
+        .withColumn(
+            "lng",
+            F.expr(
+                "(((point_id * 2246822519 + 678901) % 1000003) / 1000003e0) * 360e0 - 180e0"
+            ),
+        )
+    )
+    out = pts.withColumn(
+        "vertex_text", tf.format_latlng_col(F.col("lat"), F.col("lng"))
+    ).withColumn("parsed", tf.parse_latlngs_col(F.col("vertex_text")))
+    return out.select(
+        "point_id",
+        "vertex_text",
+        F.col("parsed")[0]["lat"].alias("lat_rt"),
+        F.col("parsed")[0]["lng"].alias("lng_rt"),
+    )
+
+
 def _q_cell_roundtrip(spark, sf_dir):
     pts = _points(spark, sf_dir)
     back = pts.withColumn("lat2", kernels.cell_to_lat(F.col("cell_id"))).withColumn(
@@ -969,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_distance_polyline": _q_within_polyline,
         "group_cap_bounds": _q_group_bounds,
         "group_rect_bounds": _q_group_rect_bounds,
+        "text_format_roundtrip": _q_text_format_roundtrip,
         # -- cell-id operators (rows-only; pinned by pytest invariants) --
         "cell_roundtrip": _q_cell_roundtrip,
         "cell_roundtrip_check": _q_cell_roundtrip_check,
@@ -1809,6 +1849,27 @@ FROM corpus GROUP BY sig HAVING count(*) > 1
 """
 
 
+def _text_format_roundtrip_sql() -> str:
+    """printf('%.15g') is C-style in DuckDB (verified byte-identical to the
+    engine's formatter); parse-back via split + cast — both engines'
+    correctly-rounded strtod yields identical doubles from identical text."""
+    return """
+WITH points AS (
+  SELECT o_orderkey AS point_id,
+         (((o_orderkey * 2654435761 + 12345) % 1000003) / 1000003e0) * 180e0 - 90e0 AS lat,
+         (((o_orderkey * 2246822519 + 678901) % 1000003) / 1000003e0) * 360e0 - 180e0 AS lng
+  FROM orders
+),
+fmt AS (
+  SELECT point_id, printf('%.15g:%.15g', lat, lng) AS vertex_text FROM points
+)
+SELECT point_id, vertex_text,
+       CAST(string_split(vertex_text, ':')[1] AS DOUBLE) AS lat_rt,
+       CAST(string_split(vertex_text, ':')[2] AS DOUBLE) AS lng_rt
+FROM fmt
+"""
+
+
 def _phash_neardup_sql() -> str:
     """phash re-derived end-to-end: first 8 bytes of sha256(image_id),
     big-endian signed (sources/images.py struct '>q'); identical planted
@@ -1881,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
         "image_verify": _image_verify_sql(),
         "image_dedup": _image_dedup_sql(),
         "phash_neardup": _phash_neardup_sql(),
+        "text_format_roundtrip": _text_format_roundtrip_sql(),
         "cell_roundtrip_check": (
             f"SELECT o_orderkey AS point_id, true AS ok FROM orders"
         ),

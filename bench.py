@@ -71,6 +71,7 @@ EXTRA = [
     "ann_recall_stats",
     "validate_polygons",
     "phash_neardup",
+    "text_format_roundtrip",
 ]
 
 

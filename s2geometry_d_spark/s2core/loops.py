@@ -35,7 +35,17 @@ def _apply_vertex_model(out, x, y, z, vertices, model: str):
 
 class Loop:
     def __init__(self, vertices: list[tuple]):
-        """vertices: list of unit xyz tuples, implicitly closed, CCW interior."""
+        """vertices: list of unit xyz tuples, implicitly closed, CCW interior.
+        The reference's one-vertex empty/full sentinels (s2loop.d:1374-1379:
+        [(0,0,1)] = empty, [(0,0,-1)] = full) are accepted; all other loops
+        need >= 3 vertices."""
+        if len(vertices) == 1 and tuple(vertices[0]) in (
+            (0.0, 0.0, 1.0),
+            (0.0, 0.0, -1.0),
+        ):
+            self.vertices = [tuple(map(float, v)) for v in vertices]
+            self.origin_inside = self.vertices[0][2] < 0  # full contains all
+            return
         assert len(vertices) >= 3
         self.vertices = [tuple(map(float, v)) for v in vertices]
         self.origin_inside = False

@@ -501,6 +501,22 @@ class LatLngRect:
     def is_empty(self) -> bool:
         return self.lat_lo > self.lat_hi or self.lng.is_empty()
 
+    def add_point_degrees(self, lat: float, lng: float) -> "LatLngRect":
+        """Grow to include the point (s2latlng_rect.d addPoint)."""
+        la, ln = math.radians(lat), math.radians(lng)
+        if self.is_empty():
+            return LatLngRect(la, la, S1Interval.from_point(ln))
+        return LatLngRect(
+            min(self.lat_lo, la), max(self.lat_hi, la), self.lng.add_point(ln)
+        )
+
+    def lo_degrees(self) -> tuple:
+        """(lat, lng) of the lower-left corner in degrees (reference lo())."""
+        return (math.degrees(self.lat_lo), math.degrees(self.lng.lo))
+
+    def hi_degrees(self) -> tuple:
+        return (math.degrees(self.lat_hi), math.degrees(self.lng.hi))
+
     def contains_latlng_radians(self, lat: float, lng: float) -> bool:
         return self.lat_lo <= lat <= self.lat_hi and self.lng.contains(lng)
 
