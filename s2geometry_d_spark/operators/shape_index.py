@@ -169,6 +169,82 @@ def unified_shape_index(
     return out
 
 
+_INDEX_POINTS_SCHEMA = "point_id string, lat double, lng double"
+_INDEX_EDGES_SCHEMA = (
+    "edge_id string, alat double, alng double, blat double, blng double"
+)
+_INDEX_POLYS_SCHEMA = "poly_id string, loops array<array<array<double>>>"
+
+
+def index_tables_from_text(
+    index_df: DataFrame, id_col: str = "index_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Parse a column of s2text_format index strings
+    ("points # polylines # polygons", s2text_format.d:358-395) into the
+    three family inputs of :func:`unified_shape_index` — the reference's
+    debug text format as a distributed SOURCE.  Shape ids are
+    "<index_id>:p<i>" / "<index_id>:l<j>e<k>" / "<index_id>:g<m>".
+
+    Each family is one mapInPandas parse pass (string parsing is a flatMap
+    — no shuffle; re-parsing per family keeps each output a clean narrow
+    schema instead of a union-typed blob).  Zero-vertex ("full") lax loops
+    cannot be numerically indexed and fail the Loop constructor downstream.
+    """
+    import pandas as pd
+
+    from ..s2core import textformat as tf
+
+    def _points(batches):
+        for pdf in batches:
+            rows = []
+            for iid, s in zip(pdf[id_col], pdf[text_col]):
+                idx = tf.make_index(s)
+                for i, (lat, lng) in enumerate(idx["points"]):
+                    rows.append((f"{iid}:p{i}", lat, lng))
+            yield pd.DataFrame(rows, columns=["point_id", "lat", "lng"])
+
+    def _edges(batches):
+        for pdf in batches:
+            rows = []
+            for iid, s in zip(pdf[id_col], pdf[text_col]):
+                idx = tf.make_index(s)
+                for j, line in enumerate(idx["polylines"]):
+                    for k in range(len(line) - 1):
+                        (alat, alng), (blat, blng) = line[k], line[k + 1]
+                        rows.append((f"{iid}:l{j}e{k}", alat, alng, blat, blng))
+            yield pd.DataFrame(
+                rows, columns=["edge_id", "alat", "alng", "blat", "blng"]
+            )
+
+    def _polys(batches):
+        for pdf in batches:
+            rows = []
+            for iid, s in zip(pdf[id_col], pdf[text_col]):
+                idx = tf.make_index(s)
+                for m, loops in enumerate(idx["polygons"]):
+                    xyz_loops = [
+                        [list(tf._ll_to_xyz(lat, lng)) for lat, lng in lp]
+                        for lp in loops
+                    ]
+                    rows.append((f"{iid}:g{m}", xyz_loops))
+            yield pd.DataFrame(rows, columns=["poly_id", "loops"])
+
+    src = index_df.select(id_col, text_col)
+    return (
+        src.mapInPandas(_points, _INDEX_POINTS_SCHEMA),
+        src.mapInPandas(_edges, _INDEX_EDGES_SCHEMA),
+        src.mapInPandas(_polys, _INDEX_POLYS_SCHEMA),
+    )
+
+
+def unified_index_from_text(
+    index_df: DataFrame, id_col: str = "index_id", text_col: str = "text"
+) -> DataFrame:
+    """Text strings straight to the unified mixed-shape index table."""
+    pts, edges, polys = index_tables_from_text(index_df, id_col, text_col)
+    return unified_shape_index(points_df=pts, edges_df=edges, polys_df=polys)
+
+
 def points_in_shapes(
     points_df: DataFrame,
     index_df: DataFrame,

@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 
 from conftest import SF_DIR
 
+from s2geometry_d_spark.functions import kernels
 from s2geometry_d_spark.operators.crossing import crossing_edges_join
 from s2geometry_d_spark.operators.knn import register_edges
 from s2geometry_d_spark.operators.poly_index import (
@@ -120,3 +121,53 @@ def test_range_scan_returns_mixed_dimensions(spark):
         assert n_shapes == n_pts + n_edges + 80
     finally:
         idx.unpersist()
+
+
+def test_unified_index_from_text_source(spark):
+    """The s2text_format index string as a distributed index SOURCE: one of
+    each dimension, then every consumer family probes the result."""
+    from s2geometry_d_spark.operators.shape_index import unified_index_from_text
+
+    s = "5:5 # 6:6, 7:7 # 0:0, 0:4, 4:0"
+    src = spark.createDataFrame([("ix0", s)], ["index_id", "text"])
+    idx = unified_index_from_text(src).cache()
+    dims = {r.dim for r in idx.select("dim").distinct().collect()}
+    assert dims == {0, 1, 2}
+    sids = {r.shape_id for r in idx.select("shape_id").distinct().collect()}
+    assert sids == {"ix0:p0", "ix0:l0e0", "ix0:g0"}
+
+    # PIP through the unified table: a probe inside the triangle hits g0
+    probe = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 40.0, 40.0)], ["point_id", "lat", "lng"]
+    ).withColumn("cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng")))
+    hits = points_in_shapes(probe, idx).select("point_id", "poly_id").collect()
+    assert {(r.point_id, r.poly_id) for r in hits} == {(1, "ix0:g0")}
+
+    # heterogeneous range scan over the whole sphere finds every shape
+    from s2geometry_d_spark.operators.shape_index import shapes_in_cell_range
+    all_rows = shapes_in_cell_range(idx, -(1 << 63), (1 << 63) - 1).collect()
+    assert {r.shape_id for r in all_rows} == sids
+    idx.unpersist()
+
+
+def test_text_source_two_loop_polygon_and_multi_shape(spark):
+    from s2geometry_d_spark.operators.shape_index import index_tables_from_text
+
+    s = "1:2 | 3:4 # 0:0, 1:1, 2:2 | 3:3, 4:4 # 0:0, 0:9, 9:0; 1:1, 1:2, 2:1"
+    src = spark.createDataFrame([("a", s)], ["index_id", "text"])
+    pts, edges, polys = index_tables_from_text(src)
+    assert pts.count() == 2
+    assert {r.edge_id for r in edges.collect()} == {"a:l0e0", "a:l0e1", "a:l1e0"}
+    prows = polys.collect()
+    assert len(prows) == 1 and len(prows[0].loops) == 2
+    # hole semantics survive the build: probe in the hole misses, outside hits
+    from s2geometry_d_spark.operators.shape_index import (
+        points_in_shapes,
+        unified_shape_index,
+    )
+    idx = unified_shape_index(points_df=pts, edges_df=edges, polys_df=polys)
+    probe = spark.createDataFrame(
+        [(1, 1.3, 1.3), (2, 4.0, 1.0)], ["point_id", "lat", "lng"]
+    ).withColumn("cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng")))
+    hits = {r.point_id for r in points_in_shapes(probe, idx).collect()}
+    assert hits == {2}
