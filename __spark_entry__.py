@@ -225,6 +225,41 @@ def _q_pip_unified_index(spark, sf_dir):
     return out.select(F.col("poly_id").alias("region_id"), "point_id")
 
 
+def _q_pip_text_index(spark, sf_dir):
+    """Same 1000-polygon PIP, but the index is built from s2text_format
+    STRINGS (s2text_format.d:358-395 "points # polylines # polygons" —
+    the reference's debug text as a distributed SOURCE): format each demo
+    polygon with the reference's %.15g, parse the column back with
+    mapInPandas, build the unified index, probe.  The oracle (and hash)
+    are shared with pip_many_poly_table, so the whole
+    format→parse→index→join pipeline is hash-gated end-to-end."""
+    from s2geometry_d_spark.operators.shape_index import (
+        points_in_shapes,
+        unified_index_from_text,
+    )
+    from s2geometry_d_spark.s2core import textformat as tf
+
+    key = (spark.sparkContext.applicationId, "text_index")
+    cached = _POLY_INDEX_CACHE.get(key)
+    if cached is None:
+        rows = [
+            (rid, "# # " + tf.polygon_to_string(poly))
+            for rid, poly in demo.many_poly_regions()
+        ]
+        src = spark.createDataFrame(rows, ["index_id", "text"])
+        idx = unified_index_from_text(src).persist()
+        jl = (
+            idx.filter(F.col("dim") == 2).agg(F.min("cov_level")).collect()[0][0]
+        )
+        cached = _POLY_INDEX_CACHE[key] = (idx, int(jl))
+    idx, jl = cached
+    pts = _points(spark, sf_dir)
+    out = points_in_shapes(pts, idx, join_level=jl)
+    return out.select(
+        F.regexp_replace("poly_id", ":g0$", "").alias("region_id"), "point_id"
+    )
+
+
 def _q_spatial_antijoin(spark, sf_dir):
     pts = _points(spark, sf_dir)
     out = points_not_in_regions(pts, demo.all_regions(), ["point_id"])
@@ -979,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_many_poly_join": _q_pip_many_poly,
         "pip_many_poly_table": _q_pip_many_poly_table,
         "pip_unified_index": _q_pip_unified_index,
+        "pip_text_index": _q_pip_text_index,
         "spatial_antijoin": _q_spatial_antijoin,
         "knn_join": _q_knn,
         "knn_edges_join": _q_knn_edges,
@@ -1957,6 +1993,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_many_poly_join": demo.many_poly_sql(),
         "pip_many_poly_table": demo.many_poly_sql(),
         "pip_unified_index": demo.many_poly_sql(),
+        "pip_text_index": demo.many_poly_sql(),
         "spatial_antijoin": _spatial_antijoin_sql(),
         "knn_join": _knn_sql(),
         "knn_edges_join": _knn_edges_sql(),

@@ -72,6 +72,7 @@ EXTRA = [
     "validate_polygons",
     "phash_neardup",
     "text_format_roundtrip",
+    "pip_text_index",
 ]
 
 
