@@ -203,23 +203,9 @@ def _q_pip_unified_index(spark, sf_dir):
     dim=2 slice routes through the identical join machinery, so the oracle
     (and hash) are shared with pip_many_poly_table while the artifact also
     carries dim=0/1 rows."""
-    from s2geometry_d_spark.operators.shape_index import (
-        points_in_shapes,
-        unified_shape_index,
-    )
-    from s2geometry_d_spark.operators.poly_index import polygons_dataframe
+    from s2geometry_d_spark.operators.shape_index import points_in_shapes
 
-    key = (spark.sparkContext.applicationId, "unified_index")
-    cached = _POLY_INDEX_CACHE.get(key)
-    if cached is None:
-        polys_df = polygons_dataframe(spark, demo.many_poly_regions())
-        edges = _edges(spark, sf_dir).limit(2000)
-        idx = unified_shape_index(edges_df=edges, polys_df=polys_df).persist()
-        jl = (
-            idx.filter(F.col("dim") == 2).agg(F.min("cov_level")).collect()[0][0]
-        )
-        cached = _POLY_INDEX_CACHE[key] = (idx, int(jl))
-    idx, jl = cached
+    idx, jl = _unified_index(spark, sf_dir)
     pts = _points(spark, sf_dir)
     out = points_in_shapes(pts, idx, join_level=jl)
     return out.select(F.col("poly_id").alias("region_id"), "point_id")
@@ -257,6 +243,127 @@ def _q_pip_text_index(spark, sf_dir):
     out = points_in_shapes(pts, idx, join_level=jl)
     return out.select(
         F.regexp_replace("poly_id", ":g0$", "").alias("region_id"), "point_id"
+    )
+
+
+def _unified_index(spark, sf_dir):
+    """Session-cached unified mixed-shape index shared with
+    pip_unified_index (same cache key → build-once across the suite)."""
+    from s2geometry_d_spark.operators.shape_index import unified_shape_index
+    from s2geometry_d_spark.operators.poly_index import polygons_dataframe
+
+    key = (spark.sparkContext.applicationId, "unified_index")
+    cached = _POLY_INDEX_CACHE.get(key)
+    if cached is None:
+        polys_df = polygons_dataframe(spark, demo.many_poly_regions())
+        edges = _edges(spark, sf_dir).limit(2000)
+        idx = unified_shape_index(edges_df=edges, polys_df=polys_df).persist()
+        jl = (
+            idx.filter(F.col("dim") == 2).agg(F.min("cov_level")).collect()[0][0]
+        )
+        cached = _POLY_INDEX_CACHE[key] = (idx, int(jl))
+    return cached
+
+
+def _q_index_region_check(spark, sf_dir):
+    """S2ShapeIndexRegion contains/mayIntersect over a TABLE of target
+    cells (s2shape_index_region.d:175-240), verified against ground truth
+    the SQL oracle derives from the polygon predicates alone: every
+    SQL-matched point must land in a may_intersect=true target (a shape
+    that truly intersects a cell may never report false, d:285-300), and
+    no unmatched point may land in a contains=true target (contains=true
+    requires one dim-2 shape to truly contain the whole cell, d:169-199).
+    Targets are the distinct level-{4,8,12} ancestors of the point cells,
+    so the check sweeps coarse (< join_level), equal and subdivided
+    relation branches in one query."""
+    from s2geometry_d_spark.operators.index_region import cells_region_relation
+    from s2geometry_d_spark.operators.shape_index import points_in_shapes
+
+    idx, jl = _unified_index(spark, sf_dir)
+    pts = _points(spark, sf_dir)
+    levels = [4, 8, 12]
+
+    targets = None
+    for lvl in levels:
+        t = (
+            pts.select(
+                kernels.parent_signed(F.col("cell_id"), lvl).alias("tcell")
+            )
+            .distinct()
+            .withColumn("level", F.lit(lvl))
+        )
+        targets = t if targets is None else targets.unionByName(t)
+    rel = cells_region_relation(targets, idx, join_level=jl)
+
+    matched = (
+        points_in_shapes(pts, idx, join_level=jl)
+        .select("point_id")
+        .distinct()
+        .withColumn("_m", F.lit(True))
+    )
+
+    pieces = []
+    for lvl in levels:
+        j = (
+            pts.select(
+                "point_id",
+                kernels.parent_signed(F.col("cell_id"), lvl).alias("tcell"),
+            )
+            .join(
+                rel.filter(F.col("level") == lvl).select(
+                    "tcell", "contains", "may_intersect"
+                ),
+                "tcell",
+                "left",
+            )
+            .join(matched, "point_id", "left")
+        )
+        pieces.append(
+            j.agg(
+                F.lit(lvl).alias("level"),
+                F.count(F.lit(1)).alias("n_points"),
+                F.sum(F.when(F.col("_m"), 1).otherwise(0)).alias("n_matched"),
+                F.sum(
+                    F.when(F.col("_m") & F.col("may_intersect"), 1).otherwise(0)
+                ).alias("n_matched_in_may"),
+                F.sum(
+                    F.when(F.col("contains") & F.col("_m").isNull(), 1).otherwise(0)
+                ).alias("n_unmatched_in_contains"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("level")
+
+
+def _q_index_union_bound_check(spark, sf_dir):
+    """getCellUnionBound of the whole unified index
+    (s2shape_index_region.d:111-166, <= 6 cells from two metadata-sized
+    aggregates) — conservative direction pinned by data: every SQL-matched
+    point lies inside a polygon, hence inside the index's covering cells,
+    hence inside the bound; the oracle derives (n_matched, 0 outside) from
+    the polygon predicates."""
+    from s2geometry_d_spark.operators.index_region import index_cell_union_bound
+    from s2geometry_d_spark.operators.shape_index import points_in_shapes
+
+    idx, jl = _unified_index(spark, sf_dir)
+    pts = _points(spark, sf_dir)
+    bound = index_cell_union_bound(idx)
+    arr = "array(" + ",".join(f"{c}L" for c in bound) + ")"
+    covered = F.expr(
+        f"exists({arr}, c -> cell_id >= c - (c & -c) + 1"
+        f" AND cell_id <= c + (c & -c) - 1)"
+    )
+    matched = (
+        points_in_shapes(pts, idx, join_level=jl)
+        .select("point_id")
+        .distinct()
+        .join(pts.select("point_id", "cell_id"), "point_id")
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum(F.when(covered, 0).otherwise(1)).alias("n_outside"),
     )
 
 
@@ -1015,6 +1122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_many_poly_table": _q_pip_many_poly_table,
         "pip_unified_index": _q_pip_unified_index,
         "pip_text_index": _q_pip_text_index,
+        "index_region_check": _q_index_region_check,
+        "index_union_bound_check": _q_index_union_bound_check,
         "spatial_antijoin": _q_spatial_antijoin,
         "knn_join": _q_knn,
         "knn_edges_join": _q_knn_edges,
@@ -1113,6 +1222,33 @@ def _pip_poly_sql() -> str:
 
 def _pip_bigpoly_sql() -> str:
     return f"WITH points AS ({demo.points_cte()}), {demo.bigpoly_predicate_sql()}"
+
+
+def _index_region_check_sql() -> str:
+    """Ground truth from the polygon predicates alone: with conservative
+    relation flags, every SQL-matched point is in a may_intersect target
+    (n_matched_in_may == n_matched) and no unmatched point is in a
+    contains target (0)."""
+    return f"""
+WITH pip AS ({demo.many_poly_sql()}),
+m AS (SELECT count(DISTINCT point_id) AS nm FROM pip),
+np AS (SELECT count(*) AS n FROM orders)
+SELECT CAST(l.level AS INTEGER) AS level,
+       np.n AS n_points,
+       m.nm AS n_matched,
+       m.nm AS n_matched_in_may,
+       CAST(0 AS BIGINT) AS n_unmatched_in_contains
+FROM (VALUES (4), (8), (12)) AS l(level), m, np
+ORDER BY level
+"""
+
+
+def _index_union_bound_sql() -> str:
+    return f"""
+WITH pip AS ({demo.many_poly_sql()})
+SELECT count(DISTINCT point_id) AS n_matched, CAST(0 AS BIGINT) AS n_outside
+FROM pip
+"""
 
 
 def _spatial_antijoin_sql() -> str:
@@ -1994,6 +2130,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_many_poly_table": demo.many_poly_sql(),
         "pip_unified_index": demo.many_poly_sql(),
         "pip_text_index": demo.many_poly_sql(),
+        "index_region_check": _index_region_check_sql(),
+        "index_union_bound_check": _index_union_bound_sql(),
         "spatial_antijoin": _spatial_antijoin_sql(),
         "knn_join": _knn_sql(),
         "knn_edges_join": _knn_edges_sql(),
