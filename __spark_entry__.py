@@ -265,6 +265,45 @@ def _unified_index(spark, sf_dir):
     return cached
 
 
+def _q_pip_incremental_index(spark, sf_dir):
+    """Same 1000-polygon PIP through an INCREMENTALLY MAINTAINED index
+    (mutable_s2shape_index.d:100-180 add/release/applyUpdates): start from
+    half the polygons PLUS 50 decoys that are exact geometric copies of
+    mp0000-mp0049 (they match real points, so a failed removal breaks the
+    hash), then add the other half and release the decoys via
+    update_shape_index.  The oracle is shared with pip_many_poly_table —
+    update == rebuild is hash-gated end-to-end."""
+    from s2geometry_d_spark.operators.poly_index import polygons_dataframe
+    from s2geometry_d_spark.operators.shape_index import (
+        points_in_shapes,
+        unified_shape_index,
+        update_shape_index,
+    )
+
+    key = (spark.sparkContext.applicationId, "incremental_index")
+    cached = _POLY_INDEX_CACHE.get(key)
+    if cached is None:
+        regions = demo.many_poly_regions()
+        half = len(regions) // 2
+        decoys = [("rm:" + rid, poly) for rid, poly in regions[:50]]
+        base = unified_shape_index(
+            polys_df=polygons_dataframe(spark, regions[:half] + decoys)
+        )
+        idx = update_shape_index(
+            base,
+            add_polys=polygons_dataframe(spark, regions[half:]),
+            remove_shape_ids=[rid for rid, _ in decoys],
+        ).persist()
+        jl = (
+            idx.filter(F.col("dim") == 2).agg(F.min("cov_level")).collect()[0][0]
+        )
+        cached = _POLY_INDEX_CACHE[key] = (idx, int(jl))
+    idx, jl = cached
+    pts = _points(spark, sf_dir)
+    out = points_in_shapes(pts, idx, join_level=jl)
+    return out.select(F.col("poly_id").alias("region_id"), "point_id")
+
+
 def _q_index_region_check(spark, sf_dir):
     """S2ShapeIndexRegion contains/mayIntersect over a TABLE of target
     cells (s2shape_index_region.d:175-240), verified against ground truth
@@ -1122,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_many_poly_table": _q_pip_many_poly_table,
         "pip_unified_index": _q_pip_unified_index,
         "pip_text_index": _q_pip_text_index,
+        "pip_incremental_index": _q_pip_incremental_index,
         "index_region_check": _q_index_region_check,
         "index_union_bound_check": _q_index_union_bound_check,
         "spatial_antijoin": _q_spatial_antijoin,
@@ -2130,6 +2170,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_many_poly_table": demo.many_poly_sql(),
         "pip_unified_index": demo.many_poly_sql(),
         "pip_text_index": demo.many_poly_sql(),
+        "pip_incremental_index": demo.many_poly_sql(),
         "index_region_check": _index_region_check_sql(),
         "index_union_bound_check": _index_union_bound_sql(),
         "spatial_antijoin": _spatial_antijoin_sql(),

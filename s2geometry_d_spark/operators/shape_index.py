@@ -169,6 +169,53 @@ def unified_shape_index(
     return out
 
 
+def update_shape_index(
+    index_df: DataFrame,
+    add_points: DataFrame | None = None,
+    add_edges: DataFrame | None = None,
+    add_polys: DataFrame | None = None,
+    remove_shape_ids=None,
+) -> DataFrame:
+    """Incremental index maintenance — the MutableS2ShapeIndex contract
+    (mutable_s2shape_index.d:100-180: ``add()`` queues a shape,
+    ``release(id)`` drops one, and the lazy ``applyUpdates`` batch folds
+    the pending edits into the cell map) re-expressed over the immutable
+    distributed table.
+
+    Because every index row derives from its OWN shape alone (coverings,
+    clipped-edge payloads and contains-center bits never look at other
+    shapes), the delta rows built here are bit-identical to the rows a
+    from-scratch rebuild would produce — so ``update == rebuild`` exactly,
+    which tests/test_shape_index.py pins row-for-row.  Removals are a
+    broadcast anti-join on shape_id (the removal set is edit-sized, never
+    fact-sized); additions index ONLY the new shapes.  The returned plan
+    is the reference's pending state: lazily composed, applied by
+    persist() or by compacting through poly_index.write_bucketed_index
+    (the applyUpdates analog — one co-bucketed artifact again).
+
+    ``remove_shape_ids`` accepts an iterable of ids or a one-column
+    DataFrame.  At 100 TB the cost is O(|delta|) + a map-side anti-join;
+    the surviving base rows are never shuffled or recomputed.
+    """
+    out = index_df
+    if remove_shape_ids is not None:
+        if isinstance(remove_shape_ids, DataFrame):
+            rm = remove_shape_ids.select(
+                F.col(remove_shape_ids.columns[0]).cast("string").alias("shape_id")
+            )
+        else:
+            rm = index_df.sparkSession.createDataFrame(
+                [(str(s),) for s in remove_shape_ids], "shape_id string"
+            )
+        out = out.join(F.broadcast(rm), "shape_id", "left_anti")
+    if add_points is not None or add_edges is not None or add_polys is not None:
+        delta = unified_shape_index(
+            points_df=add_points, edges_df=add_edges, polys_df=add_polys
+        )
+        out = out.unionByName(delta)
+    return out
+
+
 _INDEX_POINTS_SCHEMA = "point_id string, lat double, lng double"
 _INDEX_EDGES_SCHEMA = (
     "edge_id string, alat double, alng double, blat double, blng double"

@@ -171,3 +171,76 @@ def test_text_source_two_loop_polygon_and_multi_shape(spark):
     ).withColumn("cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng")))
     hits = {r.point_id for r in points_in_shapes(probe, idx).collect()}
     assert hits == {2}
+
+
+def test_incremental_update_equals_rebuild(spark):
+    """MutableS2ShapeIndex contract (mutable_s2shape_index.d:100-180):
+    add + release then lazy apply must equal a from-scratch build — here
+    exactly, row for row, because per-shape rows are independent."""
+    pts, edges_df, polys_df, regions = _fixture(spark)
+    half = len(regions) // 2
+    polys_a = polygons_dataframe(spark, regions[:half])
+    polys_b = polygons_dataframe(spark, regions[half:])
+
+    base = unified_shape_index(edges_df=edges_df, polys_df=polys_a)
+    # add the second polygon half + the points family; release 3 polygons
+    # and every odd edge id
+    removed = [regions[i][0] for i in (0, 7, 23)] + [
+        r["edge_id"]
+        for r in edges_df.select("edge_id").collect()
+        if int(r["edge_id"]) % 2 == 1
+    ]
+    from s2geometry_d_spark.operators.shape_index import update_shape_index
+
+    upd = update_shape_index(
+        base, add_points=pts, add_polys=polys_b, remove_shape_ids=removed
+    )
+
+    keep = set(r for r, _ in regions) - set(removed)
+    scratch = unified_shape_index(
+        points_df=pts,
+        edges_df=edges_df.filter(F.col("edge_id").cast("long") % 2 == 0),
+        polys_df=polygons_dataframe(spark, [p for p in regions if p[0] in keep]),
+    )
+
+    def key(df):
+        return {
+            tuple(
+                (tuple(map(tuple, x)) if isinstance(x, list) else x) for x in r
+            )
+            for r in df.select(
+                "shape_id", "dim", "cell_signed", "cov_level", "is_interior",
+                "ccx", "ccy", "ccz", "c_bit", "ea", "eb",
+            ).collect()
+        }
+
+    got, want = key(upd), key(scratch)
+    assert got == want and len(want) > 0
+    # consumer parity through the SAME join machinery
+    got_pip = {
+        (r["poly_id"], r["point_id"])
+        for r in points_in_shapes(pts, upd).select("poly_id", "point_id").collect()
+    }
+    want_pip = {
+        (r["poly_id"], r["point_id"])
+        for r in points_in_shapes(pts, scratch)
+        .select("poly_id", "point_id")
+        .collect()
+    }
+    assert got_pip == want_pip
+    # removed shapes are gone from the artifact
+    assert upd.filter(F.col("shape_id").isin(removed[:3])).count() == 0
+
+
+def test_update_remove_accepts_dataframe_and_broadcasts(spark):
+    """Removal set as a one-column DataFrame; the anti-join must broadcast
+    (edit-sized side never shuffles the index)."""
+    _, edges_df, polys_df, regions = _fixture(spark)
+    idx = unified_shape_index(edges_df=edges_df, polys_df=polys_df)
+    from s2geometry_d_spark.operators.shape_index import update_shape_index
+
+    rm = spark.createDataFrame([(regions[0][0],)], ["sid"])
+    upd = update_shape_index(idx, remove_shape_ids=rm)
+    plan = upd._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert upd.filter(F.col("shape_id") == regions[0][0]).count() == 0
