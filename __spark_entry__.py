@@ -419,6 +419,44 @@ def _q_knn(spark, sf_dir):
     return res.select("query_id", "rank", "point_id")
 
 
+def _q_knn_maxdist(spark, sf_dir):
+    """Closest-POINT kNN with the max_distance option
+    (s2closest_point_query.d:58-97 setMaxDistance): the ring never grows
+    past the limit and fewer than k results there is a complete answer."""
+    pts = _points(spark, sf_dir)
+    n = pts.count()
+    res = knn.knn_join(
+        pts,
+        demo.knn_queries(),
+        k=5,
+        n_points_hint=n,
+        tie_col="point_id",
+        max_distance_deg=1.0,
+    )
+    return res.select("query_id", "rank", "point_id")
+
+
+def _q_knn_maxerror(spark, sf_dir):
+    """Closest-POINT kNN with the max_error early-exit option
+    (s2closest_point_query.d:110-111 setMaxError).  As with the edge
+    variant, the chosen max_error (0.02 deg) sits far below the fixture's
+    kth/(k+1)th distance gaps, so the approximate result provably
+    coincides with the exact top-k and the exact SQL oracle verifies the
+    option end-to-end; the genuinely-approximate regime is covered by the
+    tolerance flip in tests/test_knn_options.py."""
+    pts = _points(spark, sf_dir)
+    n = pts.count()
+    res = knn.knn_join(
+        pts,
+        demo.knn_queries(),
+        k=5,
+        n_points_hint=n,
+        tie_col="point_id",
+        max_error_deg=0.02,
+    )
+    return res.select("query_id", "rank", "point_id")
+
+
 def _q_knn_edges(spark, sf_dir):
     """Closest-edge kNN (the reference's flagship query class)."""
     e = _edges(spark, sf_dir)
@@ -1164,6 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_union_bound_check": _q_index_union_bound_check,
         "spatial_antijoin": _q_spatial_antijoin,
         "knn_join": _q_knn,
+        "knn_maxdist": _q_knn_maxdist,
+        "knn_maxerror": _q_knn_maxerror,
         "knn_edges_join": _q_knn_edges,
         "knn_unified_index": _q_knn_unified,
         "knn_edges_maxdist": _q_knn_edges_maxdist,
@@ -1315,6 +1355,30 @@ SELECT query_id, rank, point_id FROM (
   SELECT query_id, point_id,
          row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, point_id ASC) AS rank
   FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _knn_maxdist_sql() -> str:
+    import math as _math
+
+    from s2geometry_d_spark.s2core.regions import chord2_from_radians
+
+    r2 = chord2_from_radians(_math.radians(1.0))
+    return f"""
+WITH points AS ({demo.points_cte()}),
+q AS (SELECT * FROM {demo.knn_queries_values_sql()}),
+scored AS (
+  SELECT q.query_id, p.point_id,
+         (cos(radians(p.lng))*cos(radians(p.lat)) - q.qx)*(cos(radians(p.lng))*cos(radians(p.lat)) - q.qx)
+       + (sin(radians(p.lng))*cos(radians(p.lat)) - q.qy)*(sin(radians(p.lng))*cos(radians(p.lat)) - q.qy)
+       + (sin(radians(p.lat)) - q.qz)*(sin(radians(p.lat)) - q.qz) AS dist2
+  FROM points p CROSS JOIN q
+)
+SELECT query_id, rank, point_id FROM (
+  SELECT query_id, point_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, point_id ASC) AS rank
+  FROM scored WHERE dist2 <= {r2!r}
 ) WHERE rank <= 5
 """
 
@@ -2173,6 +2237,8 @@ def oracle_sql() -> dict[str, str]:
         "index_union_bound_check": _index_union_bound_sql(),
         "spatial_antijoin": _spatial_antijoin_sql(),
         "knn_join": _knn_sql(),
+        "knn_maxdist": _knn_maxdist_sql(),
+        "knn_maxerror": _knn_sql(),
         "knn_edges_join": _knn_edges_sql(),
         "knn_unified_index": _knn_edges_sql(),
         "knn_edges_maxdist": _knn_edges_maxdist_sql(),

@@ -55,6 +55,8 @@ def knn_join(
     n_points_hint: int | None = None,
     tie_col: str | None = None,
     queries_xyz: dict | None = None,
+    max_distance_deg: float | None = None,
+    max_error_deg: float = 0.0,
 ) -> DataFrame:
     """Returns (query_id, rank, dist2, <point columns>) with rank 1..k.
 
@@ -66,10 +68,21 @@ def knn_join(
     furthest_points_join to query the exact floating-point negation of the
     original point (the lat/lng stays the seed for the search-cap covering,
     which is inflated by an epsilon to absorb the ulp-level center gap).
+
+    Options parity with S2ClosestPointQuery
+    (s2closest_point_query.d:58-111 setMaxDistance/setMaxError, the same
+    contract the edge path carries): ``max_distance_deg`` bounds results
+    to that distance — the ring never grows past it and <k results at the
+    limit is a COMPLETE answer, not a fallback trigger;
+    ``max_error_deg`` accepts the candidate top-k as soon as its k-th
+    distance is within max_error of the ring radius (anything unseen is
+    farther than the ring, so no reported result can be beaten by more
+    than max_error).  0.0 keeps exact semantics.
     """
     spark = points_df.sparkSession
     tie_col = tie_col or cell_col
     queries_xyz = queries_xyz or {}
+    max_r = 170.0 if max_distance_deg is None else min(170.0, max_distance_deg)
 
     def q_xyz(qid, lat, lng):
         return queries_xyz.get(qid) or _xyz(lat, lng)
@@ -95,15 +108,23 @@ def knn_join(
         if not pending:
             break
         regions = [
-            (qid, Cap.from_latlng_radius(lat, lng, min(radius[qid] + cap_pad, 170.0)))
+            (qid, Cap.from_latlng_radius(lat, lng, min(radius[qid] + cap_pad, max_r)))
             for qid, (lat, lng) in pending.items()
         ]
         coverings = compute_coverings(regions, max_cells=24)
         cand = candidate_match_kernel(points_df, coverings, cell_col=cell_col).drop("is_interior")
         cand = cand.withColumnRenamed("region_id", "query_id")
 
+        # acceptance radius widened by max_error, never past the distance
+        # limit (see knn_edges_join — identical approximation contract)
         qrows = [
-            (qid, *q_xyz(qid, lat, lng), chord2_from_radians(math.radians(min(radius[qid], 170.0))))
+            (
+                qid,
+                *q_xyz(qid, lat, lng),
+                chord2_from_radians(
+                    math.radians(min(radius[qid] + max_error_deg, max_r))
+                ),
+            )
             for qid, (lat, lng) in pending.items()
         ]
         qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz", "r2"])
@@ -131,14 +152,20 @@ def knn_join(
         for r in rows:
             by_q.setdefault(r["query_id"], []).append(r)
         for qid in list(pending):
-            if len(by_q.get(qid, [])) >= k:
-                done_rows.extend(by_q[qid])
+            got = by_q.get(qid, [])
+            if len(got) >= k:
+                done_rows.extend(got)
                 del pending[qid]
-            elif radius[qid] >= 170.0:
-                # ring clamped and still short of k: points in the antipodal
-                # gap are never candidates — fall through to brute force
-                # rather than accept an incomplete top-k
-                brute[qid] = pending.pop(qid)
+            elif radius[qid] >= max_r:
+                if max_distance_deg is not None:
+                    # a distance limit makes <k results a complete answer
+                    done_rows.extend(got)
+                    del pending[qid]
+                else:
+                    # ring clamped and still short of k: points in the
+                    # antipodal gap are never candidates — fall through to
+                    # brute force rather than accept an incomplete top-k
+                    brute[qid] = pending.pop(qid)
             else:
                 radius[qid] = radius[qid] * 2.0
 
@@ -155,6 +182,11 @@ def knn_join(
         qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz"])
         cand = points_df.crossJoin(F.broadcast(qdf))
         scored = cand.withColumn("dist2", _chord2_to_query_expr(lat_col, lng_col))
+        if max_distance_deg is not None:
+            scored = scored.filter(
+                F.col("dist2")
+                <= F.lit(chord2_from_radians(math.radians(max_distance_deg)))
+            )
         w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col(tie_col).asc())
         topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop(
             "qx", "qy", "qz"

@@ -331,3 +331,80 @@ def test_edge_targets_max_distance_and_error(spark, edges):
     assert len(by_rank) == 6
     for rank in range(1, 7):
         assert ang(by_rank[rank]) <= ang(true6[rank - 1]) + 1.0 + 1e-9
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rnd = random.Random(47)
+    rows = []
+    for i in range(4000):
+        lat = math.degrees(math.asin(rnd.uniform(-1, 1)))
+        lng = rnd.uniform(-180, 180)
+        rows.append((i, lat, lng))
+    df = spark.createDataFrame(rows, ["point_id", "lat", "lng"]).withColumn(
+        "cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng"))
+    )
+    return df.persist()
+
+
+def test_knn_points_max_distance_is_a_filtered_topk(spark, points):
+    """S2ClosestPointQuery setMaxDistance (s2closest_point_query.d:58-97):
+    a distance limit filters the top-k and <k results is complete."""
+    r_deg = 2.0
+    r2 = chord2_from_radians(math.radians(r_deg))
+    got = knn.knn_join(
+        points,
+        QUERIES,
+        k=5,
+        n_points_hint=4000,
+        tie_col="point_id",
+        max_distance_deg=r_deg,
+    ).collect()
+    brute = knn.knn_brute_force(points, QUERIES, k=4000, tie_col="point_id").collect()
+    want = {}
+    for q, _, _ in QUERIES:
+        hits = sorted(
+            [
+                (r["dist2"], r["point_id"])
+                for r in brute
+                if r["query_id"] == q and r["dist2"] <= r2
+            ]
+        )[:5]
+        want[q] = [p for _, p in hits]
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_by_q.setdefault(r["query_id"], []).append(r["point_id"])
+        assert r["dist2"] <= r2
+    assert got_by_q == {q: v for q, v in want.items() if v}
+
+
+def test_knn_points_max_error_tolerance(spark, points):
+    """setMaxError (s2closest_point_query.d:110-111): every reported
+    distance is within max_error of the true rank-matched distance, and
+    max_error=0 stays exact."""
+    e_deg = 1.0
+    got = knn.knn_join(
+        points,
+        QUERIES,
+        k=5,
+        n_points_hint=4000,
+        tie_col="point_id",
+        max_error_deg=e_deg,
+    ).collect()
+    brute = knn.knn_brute_force(points, QUERIES, k=5, tie_col="point_id").collect()
+    true_d = {}
+    for r in brute:
+        true_d[(r["query_id"], r["rank"])] = r["dist2"]
+    # chord2 tolerance for an angular slack of e_deg at the observed angle:
+    # compare angles directly instead
+    for r in got:
+        want = true_d[(r["query_id"], r["rank"])]
+        a_got = math.degrees(2 * math.asin(min(1.0, math.sqrt(r["dist2"]) / 2)))
+        a_true = math.degrees(2 * math.asin(min(1.0, math.sqrt(want) / 2)))
+        assert a_got <= a_true + e_deg + 1e-9
+    exact = knn.knn_join(
+        points, QUERIES, k=5, n_points_hint=4000, tie_col="point_id", max_error_deg=0.0
+    ).collect()
+    want_ids = {(r["query_id"], r["rank"]): r["point_id"] for r in brute}
+    for r in exact:
+        assert want_ids[(r["query_id"], r["rank"])] == r["point_id"]
