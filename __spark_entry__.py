@@ -608,6 +608,32 @@ def _crossing_targets():
     return [(f"t{i}", wp[i], wp[i + 1]) for i in range(len(wp) - 1)]
 
 
+def _q_edge_face_span(spark, sf_dir):
+    """getFaceSegments (s2edge_clipping.d:68-120) over the edge table: the
+    first/last face of each edge's face-segment chain, SQL-oracled (the
+    chain endpoints are the largestAbsComponent faces of the edge
+    endpoints, which DuckDB reproduces in closed form); the walk-dependent
+    segment counts and UV geometry are pinned by tests/test_edgeclip.py."""
+    from s2geometry_d_spark.functions.faceclip import edge_face_span
+
+    e = _edges(spark, sf_dir)
+    # explode-the-UDF-call-inline so the kernel evaluates ONCE even though
+    # two struct fields are projected (the round-4 doubled-Arrow lesson:
+    # CollapseProject would otherwise clone the UDF per extracted field)
+    span = F.explode(
+        F.array(
+            edge_face_span(
+                F.col("alat"), F.col("alng"), F.col("blat"), F.col("blng")
+            )
+        )
+    ).alias("s")
+    return e.select("edge_id", span).select(
+        "edge_id",
+        F.col("s.first_face").alias("first_face"),
+        F.col("s.last_face").alias("last_face"),
+    )
+
+
 def _q_crossing_edges(spark, sf_dir):
     """Which data edges properly cross the route polyline's edges."""
     from s2geometry_d_spark.operators.crossing import crossing_edges_join
@@ -1212,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "furthest_join": _q_furthest,
         "nearest_polyline_join": _q_nearest_polyline,
         "polyline_within_distance": _q_polyline_within_distance,
+        "edge_face_span": _q_edge_face_span,
         "crossing_edges_join": _q_crossing_edges,
         "crossing_unified_index": _q_crossing_unified,
         "polygon_overlay": _q_polygon_overlay_op("intersection"),
@@ -1638,6 +1665,43 @@ SELECT query_id, rank, edge_id FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, edge_id ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
+"""
+
+
+def _face_case_sql(x: str, y: str, z: str) -> str:
+    """largestAbsComponent face id (s2coords.d xyzToFaceUV semantics) as a
+    closed-form CASE over endpoint xyz."""
+    return f"""CASE WHEN abs({x}) > abs({y}) THEN
+       CASE WHEN abs({x}) > abs({z}) THEN CASE WHEN {x} < 0 THEN 3 ELSE 0 END
+            ELSE CASE WHEN {z} < 0 THEN 5 ELSE 2 END END
+     ELSE CASE WHEN abs({y}) > abs({z}) THEN CASE WHEN {y} < 0 THEN 4 ELSE 1 END
+          ELSE CASE WHEN {z} < 0 THEN 5 ELSE 2 END END END"""
+
+
+def _edge_face_span_sql() -> str:
+    from s2geometry_d_spark.functions import edgedist
+
+    a_cols = ",\n       ".join(edgedist.xyz_exprs("alat", "alng", "a"))
+    b_cols = ",\n       ".join(edgedist.xyz_exprs("blat", "blng", "b"))
+    return f"""
+WITH points AS ({demo.points_cte()}),
+edges_all AS (
+  SELECT point_id AS edge_id, lat AS alat, lng AS alng,
+         lead(lat) OVER ({_EDGE_ORDER}) AS blat,
+         lead(lng) OVER ({_EDGE_ORDER}) AS blng
+  FROM points
+),
+e AS (SELECT * FROM edges_all WHERE blat IS NOT NULL),
+exyz AS (
+  SELECT edge_id,
+       {a_cols},
+       {b_cols}
+  FROM e
+)
+SELECT edge_id,
+       CAST({_face_case_sql("ax", "ay", "az")} AS INTEGER) AS first_face,
+       CAST({_face_case_sql("bx", "by", "bz")} AS INTEGER) AS last_face
+FROM exyz
 """
 
 
@@ -2244,6 +2308,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_edges_maxdist": _knn_edges_maxdist_sql(),
         "knn_edges_maxerror": _knn_edges_sql(),
         "knn_edge_targets": _knn_edge_targets_sql(),
+        "edge_face_span": _edge_face_span_sql(),
         "furthest_join": _furthest_sql(),
         "nearest_polyline_join": _nearest_polyline_sql(),
         "polyline_within_distance": _nearest_polyline_sql(k=5, max_dist_deg=_PL_WITHIN_DEG),

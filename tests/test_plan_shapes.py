@@ -223,3 +223,13 @@ def test_tile_assignment_evaluates_kernel_once(spark, entrymod):
         df = entrymod.queries()[q](spark, SF_DIR)
         plan = _plan(df)
         assert plan.count("tile_cells(") == 1, (q, plan)
+
+
+def test_edge_face_span_evaluates_kernel_once(spark, entrymod):
+    """The span kernel is a struct-returning pandas UDF projected into two
+    fields — the explode-inline pattern must keep it at ONE ArrowEvalPython
+    (CollapseProject would otherwise clone the UDF per field)."""
+    spark.catalog.clearCache()
+    df = entrymod.queries()["edge_face_span"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("edge_face_span(") == 1, plan
