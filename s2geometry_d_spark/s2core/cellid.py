@@ -521,6 +521,18 @@ class CellId:
     def to_face_ij(self) -> tuple[int, int, int]:
         return _scalar_to_face_ij(self.id)
 
+    def to_face_ij_orientation(self) -> tuple[int, int, int, int]:
+        """(face, i, j, hilbert orientation) — the orientation accumulates
+        POS_TO_ORIENTATION over the child positions from the face root
+        (toFaceIJOrientation, s2cell_id.d)."""
+        from .hilbert import POS_TO_ORIENTATION
+
+        face, i, j = _scalar_to_face_ij(self.id)
+        orient = face & SWAP_MASK
+        for lvl in range(1, self.level() + 1):
+            orient ^= POS_TO_ORIENTATION[self.child_position(lvl)]
+        return face, i, j, orient
+
     def get_size_ij(self) -> int:
         return 1 << (MAX_LEVEL - self.level())
 
