@@ -73,6 +73,13 @@ EXTRA = [
     "phash_neardup",
     "text_format_roundtrip",
     "pip_text_index",
+    # round 5, final sweep
+    "pip_incremental_index",
+    "index_region_check",
+    "index_union_bound_check",
+    "knn_maxdist",
+    "knn_maxerror",
+    "edge_face_span",
 ]
 
 
