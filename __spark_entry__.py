@@ -457,6 +457,28 @@ def _q_knn_maxerror(spark, sf_dir):
     return res.select("query_id", "rank", "point_id")
 
 
+def _q_knn_region(spark, sf_dir):
+    """Closest-POINT kNN restricted to a region (setRegion option,
+    s2closest_point_query.d Options): results are the k nearest points
+    INSIDE cap_paris — for far-away queries the ring must expand into the
+    cap and the brute fallback must inherit the PIP pre-filter, both of
+    which the shared exact oracle verifies."""
+    from s2geometry_d_spark.s2core.regions import Cap
+
+    _, la, ln, r = demo.CAPS[0]
+    pts = _points(spark, sf_dir)
+    n = pts.count()
+    res = knn.knn_join(
+        pts,
+        demo.knn_queries(),
+        k=5,
+        n_points_hint=n,
+        tie_col="point_id",
+        region=Cap.from_latlng_radius(la, ln, r),
+    )
+    return res.select("query_id", "rank", "point_id")
+
+
 def _q_knn_edges(spark, sf_dir):
     """Closest-edge kNN (the reference's flagship query class)."""
     e = _edges(spark, sf_dir)
@@ -1230,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn,
         "knn_maxdist": _q_knn_maxdist,
         "knn_maxerror": _q_knn_maxerror,
+        "knn_region": _q_knn_region,
         "knn_edges_join": _q_knn_edges,
         "knn_unified_index": _q_knn_unified,
         "knn_edges_maxdist": _q_knn_edges_maxdist,
@@ -1406,6 +1429,26 @@ SELECT query_id, rank, point_id FROM (
   SELECT query_id, point_id,
          row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, point_id ASC) AS rank
   FROM scored WHERE dist2 <= {r2!r}
+) WHERE rank <= 5
+"""
+
+
+def _knn_region_sql() -> str:
+    pred = demo.cap_predicate_sql(demo.CAPS[0][1], demo.CAPS[0][2], demo.CAPS[0][3])
+    return f"""
+WITH points AS ({demo.points_cte()}),
+q AS (SELECT * FROM {demo.knn_queries_values_sql()}),
+scored AS (
+  SELECT q.query_id, p.point_id,
+         (cos(radians(p.lng))*cos(radians(p.lat)) - q.qx)*(cos(radians(p.lng))*cos(radians(p.lat)) - q.qx)
+       + (sin(radians(p.lng))*cos(radians(p.lat)) - q.qy)*(sin(radians(p.lng))*cos(radians(p.lat)) - q.qy)
+       + (sin(radians(p.lat)) - q.qz)*(sin(radians(p.lat)) - q.qz) AS dist2
+  FROM (SELECT * FROM points p WHERE {pred}) p CROSS JOIN q
+)
+SELECT query_id, rank, point_id FROM (
+  SELECT query_id, point_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, point_id ASC) AS rank
+  FROM scored
 ) WHERE rank <= 5
 """
 
@@ -2303,6 +2346,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _knn_sql(),
         "knn_maxdist": _knn_maxdist_sql(),
         "knn_maxerror": _knn_sql(),
+        "knn_region": _knn_region_sql(),
         "knn_edges_join": _knn_edges_sql(),
         "knn_unified_index": _knn_edges_sql(),
         "knn_edges_maxdist": _knn_edges_maxdist_sql(),

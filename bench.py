@@ -79,6 +79,7 @@ EXTRA = [
     "index_union_bound_check",
     "knn_maxdist",
     "knn_maxerror",
+    "knn_region",
     "edge_face_span",
 ]
 

@@ -57,6 +57,7 @@ def knn_join(
     queries_xyz: dict | None = None,
     max_distance_deg: float | None = None,
     max_error_deg: float = 0.0,
+    region=None,
 ) -> DataFrame:
     """Returns (query_id, rank, dist2, <point columns>) with rank 1..k.
 
@@ -78,11 +79,23 @@ def knn_join(
     distance is within max_error of the ring radius (anything unseen is
     farther than the ring, so no reported result can be beaten by more
     than max_error).  0.0 keeps exact semantics.
+    ``region`` (setRegion, s2closest_point_query.d Options): restrict
+    results to points inside the given S2 region (Cap/LatLngRect/Polygon)
+    — applied as a PIP pre-filter on the candidate table, so the covering
+    probe, ring growth and brute fallback all see only in-region points
+    and the <k-at-exhaustion answer stays complete.
     """
     spark = points_df.sparkSession
     tie_col = tie_col or cell_col
     queries_xyz = queries_xyz or {}
     max_r = 170.0 if max_distance_deg is None else min(170.0, max_distance_deg)
+    if region is not None:
+        from .spatial_join import points_in_regions
+
+        points_df = points_in_regions(
+            points_df, [("_knn_region", region)], lat_col=lat_col,
+            lng_col=lng_col, cell_col=cell_col,
+        ).drop("region_id")
 
     def q_xyz(qid, lat, lng):
         return queries_xyz.get(qid) or _xyz(lat, lng)

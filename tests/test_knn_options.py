@@ -408,3 +408,23 @@ def test_knn_points_max_error_tolerance(spark, points):
     want_ids = {(r["query_id"], r["rank"]): r["point_id"] for r in brute}
     for r in exact:
         assert want_ids[(r["query_id"], r["rank"])] == r["point_id"]
+
+
+def test_knn_points_region_option(spark, points):
+    """setRegion: results restricted to points inside the region; parity
+    with brute force over the pre-filtered table, including a query far
+    outside the region (ring growth + brute fallback must both inherit
+    the filter)."""
+    from s2geometry_d_spark.s2core.regions import Cap
+
+    cap = Cap.from_latlng_radius(10.0, 20.0, 30.0)
+    got = knn.knn_join(
+        points, QUERIES, k=5, n_points_hint=4000, tie_col="point_id", region=cap
+    ).collect()
+    from s2geometry_d_spark.operators.spatial_join import points_in_regions
+
+    inside = points_in_regions(points, [("r", cap)]).drop("region_id")
+    brute = knn.knn_brute_force(inside, QUERIES, k=5, tie_col="point_id").collect()
+    want = {(r["query_id"], r["rank"]): r["point_id"] for r in brute}
+    gotm = {(r["query_id"], r["rank"]): r["point_id"] for r in got}
+    assert gotm == want and len(want) == 20
