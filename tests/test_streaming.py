@@ -143,3 +143,92 @@ class TestStreamingPIP:
         want = {(r.region_id, r.event_id) for r in pip_batch(events, regions).collect()}
         assert got == want
         assert len(want) > 0
+
+
+class TestStreamingIndexMaintenance:
+    def test_streamed_index_equals_scratch_build(self, spark, tmp_path):
+        """Two micro-batches of shape edits (adds then adds+removes) must
+        leave the SAME index a from-scratch build produces, row for row,
+        and the same PIP answers through points_in_shapes."""
+        from s2geometry_d_spark.operators.poly_index import polygons_dataframe
+        from s2geometry_d_spark.operators.shape_index import (
+            points_in_shapes,
+            unified_shape_index,
+        )
+        from s2geometry_d_spark.plans import demo
+        from s2geometry_d_spark.sources import tables
+        from s2geometry_d_spark.streaming.index_stream import (
+            SHAPE_OPS_SCHEMA,
+            read_streamed_index,
+            shape_index_update_stream,
+        )
+
+        regions = demo.many_poly_regions()[:60]
+        half = len(regions) // 2
+
+        def ops_rows(rs, op):
+            return [
+                (op, rid, [list(v) for v in poly.loops[0].vertices])
+                for rid, poly in rs
+            ]
+
+        src = tmp_path / "edits"
+        src.mkdir()
+        # batch file 1: first half plus 5 decoys (copies of the first 5)
+        decoys = [("rm:" + rid, poly) for rid, poly in regions[:5]]
+        b1 = ops_rows(regions[:half] + decoys, "add")
+        spark.createDataFrame(b1, SHAPE_OPS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "f1.parquet"))
+        # batch file 2: second half, and release the decoys
+        b2 = ops_rows(regions[half:], "add") + [
+            ("remove", rid, None) for rid, _ in decoys
+        ]
+        spark.createDataFrame(b2, SHAPE_OPS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / "f2.parquet"))
+
+        out = tmp_path / "index"
+        q = shape_index_update_stream(
+            spark,
+            f"{src}/*/",
+            str(out),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+        live = read_streamed_index(spark, str(out))
+        scratch = unified_shape_index(
+            polys_df=polygons_dataframe(spark, regions)
+        )
+
+        def key(df):
+            return {
+                tuple(
+                    (tuple(map(tuple, x)) if isinstance(x, list) else x)
+                    for x in r
+                )
+                for r in df.select(
+                    "shape_id", "dim", "cell_signed", "cov_level",
+                    "is_interior", "ccx", "ccy", "ccz", "c_bit", "ea", "eb",
+                ).collect()
+            }
+
+        got, want = key(live), key(scratch)
+        assert got == want and len(want) > 0
+
+        pts = tables.spatial_points(spark, SF_DIR).limit(2000)
+        got_pip = {
+            (r["poly_id"], r["point_id"])
+            for r in points_in_shapes(pts, live)
+            .select("poly_id", "point_id")
+            .collect()
+        }
+        want_pip = {
+            (r["poly_id"], r["point_id"])
+            for r in points_in_shapes(pts, scratch)
+            .select("poly_id", "point_id")
+            .collect()
+        }
+        assert got_pip == want_pip
