@@ -785,6 +785,33 @@ def _q_knn_edge_targets(spark, sf_dir):
     return res.select("query_id", "rank", "edge_id")
 
 
+def _cell_targets():
+    from s2geometry_d_spark.s2core.cellid import CellId
+
+    return [
+        ("cell_paris_l8", CellId.from_latlng(48.85, 2.35).parent(8)),
+        ("cell_sydney_l6", CellId.from_latlng(-33.86, 151.21).parent(6)),
+        ("cell_andes_l11", CellId.from_latlng(-20.0, -65.0).parent(11)),
+        ("cell_nordic_l4", CellId.from_latlng(65.0, 18.0).parent(4)),
+    ]
+
+
+def _q_knn_cell_targets(spark, sf_dir):
+    """CELL-target closest-edge query (the fourth reference target kind,
+    s2min_distance_targets.d:184-208): k nearest table edges to each query
+    cell — 0 for edges touching/inside the cell (the big level-4 target
+    exercises the tie regime), else min pair distance against the cell's
+    four boundary edges, via the engine-shared SQL fragment."""
+    e = _edges(spark, sf_dir)
+    res = knn.knn_edges_to_cells(
+        e,
+        _cell_targets(),
+        k=5,
+        registered_df=_edges_registered(spark, sf_dir),
+    )
+    return res.select("query_id", "rank", "edge_id")
+
+
 def _q_polygon_overlay_op(op):
     """Polygon boolean overlay (∩/∪/−) over a table of polygon pairs — the
     reference's largest module (s2boolean_operation.d:225-481) as a
@@ -1258,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_edges_maxdist": _q_knn_edges_maxdist,
         "knn_edges_maxerror": _q_knn_edges_maxerror,
         "knn_edge_targets": _q_knn_edge_targets,
+        "knn_cell_targets": _q_knn_cell_targets,
         "furthest_join": _q_furthest,
         "nearest_polyline_join": _q_nearest_polyline,
         "polyline_within_distance": _q_polyline_within_distance,
@@ -1702,6 +1730,49 @@ edges_all AS (
 ),
 e AS (SELECT * FROM edges_all WHERE blat IS NOT NULL),
 q AS (SELECT * FROM (VALUES {targets}) AS q(query_id, cx, cy, cz, dx, dy, dz)),
+scored AS ({scored})
+SELECT query_id, rank, edge_id FROM (
+  SELECT query_id, edge_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, edge_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _knn_cell_targets_sql() -> str:
+    from s2geometry_d_spark.functions import edgedist, edgepair
+    from s2geometry_d_spark.s2core.regions import Cell
+
+    a_cols = ",\n       ".join(edgedist.xyz_exprs("alat", "alng", "a"))
+    b_cols = ",\n       ".join(edgedist.xyz_exprs("blat", "blng", "b"))
+    vn_cols = [f"v{k}{ax}" for k in range(4) for ax in ("x", "y", "z")] + [
+        f"n{k}{ax}" for k in range(4) for ax in ("x", "y", "z")
+    ]
+    rows = []
+    for tid, cid in _cell_targets():
+        cell = Cell(cid)
+        vals = [c for k in range(4) for c in cell.get_vertex(k)] + [
+            c for k in range(4) for c in cell.get_edge_raw(k)
+        ]
+        lits = ", ".join(format(v, ".17e") for v in vals)
+        rows.append(f"('{tid}', {lits})")
+    targets = ", ".join(rows)
+    inner = (
+        f"SELECT query_id, edge_id, {', '.join(vn_cols)},\n"
+        f"       {a_cols},\n       {b_cols}\n"
+        "FROM e CROSS JOIN q"
+    )
+    scored = edgepair.cell_dist2_select_sql(inner, "query_id, edge_id")
+    return f"""
+WITH points AS ({demo.points_cte()}),
+edges_all AS (
+  SELECT point_id AS edge_id, lat AS alat, lng AS alng,
+         lead(lat) OVER ({_EDGE_ORDER}) AS blat,
+         lead(lng) OVER ({_EDGE_ORDER}) AS blng
+  FROM points
+),
+e AS (SELECT * FROM edges_all WHERE blat IS NOT NULL),
+q AS (SELECT * FROM (VALUES {targets}) AS q(query_id, {', '.join(vn_cols)})),
 scored AS ({scored})
 SELECT query_id, rank, edge_id FROM (
   SELECT query_id, edge_id,
@@ -2352,6 +2423,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_edges_maxdist": _knn_edges_maxdist_sql(),
         "knn_edges_maxerror": _knn_edges_sql(),
         "knn_edge_targets": _knn_edge_targets_sql(),
+        "knn_cell_targets": _knn_cell_targets_sql(),
         "edge_face_span": _edge_face_span_sql(),
         "furthest_join": _furthest_sql(),
         "nearest_polyline_join": _nearest_polyline_sql(),

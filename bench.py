@@ -80,6 +80,7 @@ EXTRA = [
     "knn_maxdist",
     "knn_maxerror",
     "knn_region",
+    "knn_cell_targets",
     "edge_face_span",
 ]
 

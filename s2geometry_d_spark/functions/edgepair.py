@@ -53,55 +53,83 @@ def point_edge_exprs(point: str, ea: str, eb: str, tag: str) -> tuple[list[tuple
     return inters, dist2
 
 
-def pair_dist2_parts() -> tuple[list[tuple[str, str]], str]:
-    """(intermediates, expr) for the edge-pair distance over columns
-    (ax..bz = table edge, cx..dz = query edge)."""
+def _pair_parts(c: str, d: str, tag: str) -> tuple[list[tuple[str, str]], str]:
+    """(intermediates, expr) for the pair distance between the table edge
+    (ax..bz) and the edge ``{c}* -> {d}*``; all instance names prefixed by
+    ``tag`` so several query edges can score in one projection."""
     inters: list[tuple[str, str]] = []
     dists = []
-    for point, ea, eb, tag in (
-        ("a", "c", "d", "p1"),
-        ("b", "c", "d", "p2"),
-        ("c", "a", "b", "p3"),
-        ("d", "a", "b", "p4"),
+    for point, ea, eb, ptag in (
+        ("a", c, d, f"{tag}p1"),
+        ("b", c, d, f"{tag}p2"),
+        (c, "a", "b", f"{tag}p3"),
+        (d, "a", "b", f"{tag}p4"),
     ):
-        i, d = point_edge_exprs(point, ea, eb, tag)
+        i, dd = point_edge_exprs(point, ea, eb, ptag)
         inters.extend(i)
-        dists.append(d)
+        dists.append(dd)
     # proper-crossing dets (raw cross products, generic position)
     inters.extend(
         [
-            ("x_n1x", "ay*bz - az*by"),
-            ("x_n1y", "az*bx - ax*bz"),
-            ("x_n1z", "ax*by - ay*bx"),
-            ("x_n2x", "cy*dz - cz*dy"),
-            ("x_n2y", "cz*dx - cx*dz"),
-            ("x_n2z", "cx*dy - cy*dx"),
-            ("x_d1", "x_n1x*cx + x_n1y*cy + x_n1z*cz"),
-            ("x_d2", "x_n1x*dx + x_n1y*dy + x_n1z*dz"),
-            ("x_d3", "x_n2x*ax + x_n2y*ay + x_n2z*az"),
-            ("x_d4", "x_n2x*bx + x_n2y*by + x_n2z*bz"),
+            (f"{tag}x_n1x", "ay*bz - az*by"),
+            (f"{tag}x_n1y", "az*bx - ax*bz"),
+            (f"{tag}x_n1z", "ax*by - ay*bx"),
+            (f"{tag}x_n2x", f"{c}y*{d}z - {c}z*{d}y"),
+            (f"{tag}x_n2y", f"{c}z*{d}x - {c}x*{d}z"),
+            (f"{tag}x_n2z", f"{c}x*{d}y - {c}y*{d}x"),
+            (f"{tag}x_d1", f"{tag}x_n1x*{c}x + {tag}x_n1y*{c}y + {tag}x_n1z*{c}z"),
+            (f"{tag}x_d2", f"{tag}x_n1x*{d}x + {tag}x_n1y*{d}y + {tag}x_n1z*{d}z"),
+            (f"{tag}x_d3", f"{tag}x_n2x*ax + {tag}x_n2y*ay + {tag}x_n2z*az"),
+            (f"{tag}x_d4", f"{tag}x_n2x*bx + {tag}x_n2y*by + {tag}x_n2z*bz"),
         ]
     )
     least = "least(" + ", ".join(f"({d})" for d in dists) + ")"
     expr = (
-        "CASE WHEN x_d1*x_d2 < 0 AND x_d1*x_d3 < 0 AND x_d1*x_d4 > 0 "
-        f"THEN 0e0 ELSE {least} END"
+        f"CASE WHEN {tag}x_d1*{tag}x_d2 < 0 AND {tag}x_d1*{tag}x_d3 < 0 "
+        f"AND {tag}x_d1*{tag}x_d4 > 0 THEN 0e0 ELSE {least} END"
     )
     return inters, expr
 
 
-def with_pair_dist2(df):
-    """Spark mirror: add dist2 = edge-pair min squared chord to a DataFrame
-    carrying (ax..bz, cx..dz).
+def pair_dist2_parts() -> tuple[list[tuple[str, str]], str]:
+    """(intermediates, expr) for the edge-pair distance over columns
+    (ax..bz = table edge, cx..dz = query edge)."""
+    return _pair_parts("c", "d", "")
 
-    Intermediates are added in dependency LAYERS (~6 selects) rather than
-    ~54 chained withColumns — chained single-column projections hit the
-    analyzer's quadratic plan-rewrite cost and dominated the per-round wall
-    time of the edge-target kNN loop.  Expression text is unchanged, so the
-    oracle hash parity is unaffected."""
+
+def cell_dist2_parts() -> tuple[list[tuple[str, str]], str]:
+    """(intermediates, expr) for table-edge-to-CELL min squared chord over
+    columns (ax..bz = table edge; v0x..v3z = cell vertices in CCW order;
+    n0x..n3z = the cell's INWARD boundary-edge normals).
+
+    Semantics (s2cell.d getDistance(v0, v1) via
+    s2min_distance_targets.d:184-208 CellTarget): 0 when either endpoint
+    lies inside the cell (covers edge-fully-inside; a boundary crossing
+    zeroes its pair term anyway), else the min pair distance against the
+    four boundary edges."""
+    inters: list[tuple[str, str]] = []
+    dists = []
+    for k in range(4):
+        i, e = _pair_parts(f"v{k}", f"v{(k + 1) % 4}", f"c{k}")
+        inters.extend(i)
+        dists.append(e)
+    def inside(p: str) -> str:
+        return " AND ".join(
+            f"({p}x*n{k}x + {p}y*n{k}y + {p}z*n{k}z >= 0e0)" for k in range(4)
+        )
+    least = "least(" + ", ".join(f"({d})" for d in dists) + ")"
+    expr = f"CASE WHEN ({inside('a')}) OR ({inside('b')}) THEN 0e0 ELSE {least} END"
+    return inters, expr
+
+
+def _with_parts(df, inters, expr):
+    """Add dist2 from (intermediates, expr) in dependency LAYERS (~6
+    selects) rather than chained withColumns — chained single-column
+    projections hit the analyzer's quadratic plan-rewrite cost and
+    dominated the per-round wall time of the edge-target kNN loop.
+    Expression text is unchanged, so oracle hash parity is unaffected."""
     from pyspark.sql import functions as F
 
-    inters, expr = pair_dist2_parts()
     level: dict[str, int] = {}
     layers: list[list[tuple[str, str]]] = []
     for name, e in inters:
@@ -117,6 +145,20 @@ def with_pair_dist2(df):
     return df.drop(*[n for n, _ in inters])
 
 
+def with_pair_dist2(df):
+    """Spark mirror: add dist2 = edge-pair min squared chord to a DataFrame
+    carrying (ax..bz, cx..dz)."""
+    inters, expr = pair_dist2_parts()
+    return _with_parts(df, inters, expr)
+
+
+def with_cell_dist2(df):
+    """Spark mirror: add dist2 = edge-to-cell min squared chord to a
+    DataFrame carrying (ax..bz, v0x..v3z, n0x..n3z)."""
+    inters, expr = cell_dist2_parts()
+    return _with_parts(df, inters, expr)
+
+
 def pair_dist2_select_sql(inner: str, keep: str) -> str:
     """Nested-select SQL computing dist2 over ``inner`` (which must provide
     ax..bz, cx..dz and the ``keep`` columns)."""
@@ -127,3 +169,23 @@ def pair_dist2_select_sql(inner: str, keep: str) -> str:
         q = f"(SELECT {keep}, {cols}, {e} AS {name} FROM {q})"
         cols += f", {name}"
     return f"SELECT {keep}, {expr} AS dist2 FROM {q}"
+
+
+def cell_dist2_select_sql(inner: str, keep: str) -> str:
+    """SQL computing the edge-to-cell dist2 over ``inner`` (must provide
+    ax..bz, v0x..v3z, n0x..n3z and the ``keep`` columns).
+
+    Uses DuckDB's LATERAL column aliases (each intermediate referencing
+    earlier ones in the SAME select) instead of the nested-select chain the
+    pair fragment uses — with 248 intermediates the nested form's repeated
+    column lists grow quadratically (~350 KB) and exhaust the parser."""
+    inters, expr = cell_dist2_parts()
+    alias_list = ",\n       ".join(f"{e} AS {name}" for name, e in inters)
+    vn = ", ".join(
+        f"{p}{k}{ax}" for p in ("v", "n") for k in range(4) for ax in ("x", "y", "z")
+    )
+    return (
+        f"SELECT {keep}, {expr} AS dist2 FROM (\n"
+        f"SELECT {keep}, ax, ay, az, bx, by, bz, {vn},\n       {alias_list}\n"
+        f"FROM ({inner})\n)"
+    )

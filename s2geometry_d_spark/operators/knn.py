@@ -693,6 +693,163 @@ def knn_edges_to_edges(
     return results
 
 
+def knn_edges_to_cells(
+    edges_df: DataFrame,
+    query_cells: list[tuple[str, "object"]],
+    k: int,
+    edge_id_col: str = "edge_id",
+    initial_radius_deg: float = 1.0,
+    max_rounds: int = 6,
+    registered_df: DataFrame | None = None,
+    max_distance_deg: float | None = None,
+) -> DataFrame:
+    """k nearest table edges to each QUERY CELL — the reference's CELL
+    target kind (s2min_distance_targets.d:184-208 over s2cell.d
+    getDistance(v0, v1)): distance 0 when the edge touches or enters the
+    cell, else the min edge-pair distance against the cell's four boundary
+    edges.  ``query_cells``: [(query_id, CellId)].
+
+    Same ring scheme as the other target kinds; the search region is the
+    cell's circumcap expanded by the ring radius (any edge within ring
+    distance of the cell has a point within circumradius + ring of the
+    center, so the covering probe is complete).  Scoring is the
+    engine-shared SQL fragment (functions/edgepair.cell_dist2_parts) with
+    the cell's vertices and inward normals riding as broadcast columns.
+    """
+    from ..functions import edgedist, edgepair
+    from ..s2core.coords import xyz_to_latlng
+    from ..s2core.regions import Cap, Cell, chord2_between, chord2_to_radians
+
+    spark = edges_df.sparkSession
+    registered = registered_df if registered_df is not None else register_edges(edges_df)
+    max_r = 170.0 if max_distance_deg is None else min(max_distance_deg, 170.0)
+
+    geom = {}
+    for qid, cid in query_cells:
+        cell = Cell(cid)
+        center = cell.get_center()
+        verts = [cell.get_vertex(kk) for kk in range(4)]
+        norms = [cell.get_edge_raw(kk) for kk in range(4)]
+        circ = max(
+            math.degrees(chord2_to_radians(chord2_between(center, v)))
+            for v in verts
+        )
+        la, ln = xyz_to_latlng(*center)
+        geom[qid] = (float(la), float(ln), circ, verts, norms)
+
+    def _score(cand: DataFrame, qdf: DataFrame) -> DataFrame:
+        cand = cand.join(F.broadcast(qdf), "query_id")
+        for expr in edgedist.xyz_exprs("alat", "alng", "a"):
+            cand = cand.selectExpr("*", expr)
+        for expr in edgedist.xyz_exprs("blat", "blng", "b"):
+            cand = cand.selectExpr("*", expr)
+        return edgepair.with_cell_dist2(cand).drop(
+            "ax", "ay", "az", "bx", "by", "bz"
+        )
+
+    vn_cols = [f"v{kk}{ax}" for kk in range(4) for ax in ("x", "y", "z")] + [
+        f"n{kk}{ax}" for kk in range(4) for ax in ("x", "y", "z")
+    ]
+
+    pending = dict(geom)
+    radius = {qid: initial_radius_deg for qid in pending}
+    done_rows: list = []
+    topk_schema = None
+    brute: dict = {}
+
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        regions = []
+        qrows = []
+        for qid, (la, ln, circ, verts, norms) in pending.items():
+            ring = min(radius[qid], max_r)
+            regions.append(
+                (qid, Cap.from_latlng_radius(la, ln, min(circ + ring, 179.0)))
+            )
+            qrows.append(
+                (
+                    qid,
+                    *[c for v in verts for c in v],
+                    *[c for n in norms for c in n],
+                    chord2_from_radians(math.radians(ring)),
+                )
+            )
+        coverings = compute_coverings(regions, max_cells=24)
+        cand = candidate_match_kernel(
+            registered, coverings, cell_col="ecell", two_way=True
+        ).drop("is_interior", "ecell")
+        cand = cand.withColumnRenamed("region_id", "query_id").dropDuplicates(
+            ["query_id", edge_id_col]
+        )
+        qdf = spark.createDataFrame(qrows, ["query_id", *vn_cols, "r2"])
+        scored = _score(cand, qdf).filter(F.col("dist2") <= F.col("r2"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist2").asc(), F.col(edge_id_col).asc()
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop(*vn_cols, "r2")
+        )
+        rows = topk.collect()
+        topk_schema = topk.schema
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid in list(pending):
+            got = by_q.get(qid, [])
+            if len(got) >= k:
+                done_rows.extend(got)
+                del pending[qid]
+            elif radius[qid] >= max_r:
+                if max_distance_deg is not None:
+                    done_rows.extend(got)
+                    del pending[qid]
+                else:
+                    brute[qid] = pending.pop(qid)
+            else:
+                radius[qid] = radius[qid] * 2.0
+
+    pending.update(brute)
+    results = (
+        spark.createDataFrame(done_rows, topk_schema)
+        if topk_schema is not None
+        else None
+    )
+
+    if pending:
+        qrows = [
+            (
+                qid,
+                *[c for v in verts for c in v],
+                *[c for n in norms for c in n],
+            )
+            for qid, (_, _, _, verts, norms) in pending.items()
+        ]
+        qdf = spark.createDataFrame(qrows, ["query_id", *vn_cols])
+        cand = edges_df.crossJoin(
+            F.broadcast(spark.createDataFrame([(q,) for q in pending], ["query_id"]))
+        )
+        scored = _score(cand, qdf)
+        if max_distance_deg is not None:
+            scored = scored.filter(
+                F.col("dist2")
+                <= F.lit(chord2_from_radians(math.radians(max_distance_deg)))
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist2").asc(), F.col(edge_id_col).asc()
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop(*vn_cols)
+        )
+        results = topk if results is None else results.unionByName(topk)
+
+    return results
+
+
 def furthest_points_join(
     points_df: DataFrame,
     queries: list[tuple[str, float, float]],

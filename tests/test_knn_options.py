@@ -428,3 +428,54 @@ def test_knn_points_region_option(spark, points):
     want = {(r["query_id"], r["rank"]): r["point_id"] for r in brute}
     gotm = {(r["query_id"], r["rank"]): r["point_id"] for r in got}
     assert gotm == want and len(want) == 20
+
+
+def test_knn_cell_targets_matches_scalar_brute_force(spark, edges):
+    """CELL-target closest-edge query vs an independent scalar brute force
+    (s2core.measures edge-pair distance + inward-normal containment)."""
+    import numpy as np
+
+    from s2geometry_d_spark.s2core.cellid import CellId
+    from s2geometry_d_spark.s2core.coords import latlng_to_xyz
+    from s2geometry_d_spark.s2core.measures import edge_pair_min_dist2
+    from s2geometry_d_spark.s2core.regions import Cell
+
+    cells = [
+        ("t_small", CellId.from_latlng(10.0, 20.0).parent(10)),
+        ("t_mid", CellId.from_latlng(-45.0, 100.0).parent(7)),
+        ("t_big", CellId.from_latlng(60.0, -30.0).parent(3)),
+    ]
+    got = knn.knn_edges_to_cells(edges, cells, k=5).collect()
+
+    rows = edges.collect()
+    want = {}
+    for tid, cid in cells:
+        cell = Cell(cid)
+        verts = [cell.get_vertex(kk) for kk in range(4)]
+        norms = [cell.get_edge_raw(kk) for kk in range(4)]
+        scored = []
+        for r in rows:
+            ax, ay, az = (float(v) for v in latlng_to_xyz(r["alat"], r["alng"]))
+            bx, by, bz = (float(v) for v in latlng_to_xyz(r["blat"], r["blng"]))
+            def inside(p):
+                return all(
+                    p[0] * n[0] + p[1] * n[1] + p[2] * n[2] >= 0 for n in norms
+                )
+            if inside((ax, ay, az)) or inside((bx, by, bz)):
+                d2 = 0.0
+            else:
+                d2 = min(
+                    edge_pair_min_dist2(
+                        (ax, ay, az), (bx, by, bz), verts[kk], verts[(kk + 1) % 4]
+                    )
+                    for kk in range(4)
+                )
+            scored.append((d2, r["edge_id"]))
+        scored.sort()
+        want[tid] = [e for _, e in scored[:5]]
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_by_q.setdefault(r["query_id"], []).append(r["edge_id"])
+    # ties at dist2==0 may order differently between float paths only if
+    # dist2 differs; both sides break ties by edge_id on exact-equal dist2
+    assert got_by_q == want
