@@ -785,6 +785,23 @@ def _q_knn_edge_targets(spark, sf_dir):
     return res.select("query_id", "rank", "edge_id")
 
 
+def _q_knn_table_join(spark, sf_dir):
+    """TABLE-to-TABLE closest-edge join (ShapeIndexTarget,
+    s2min_distance_targets.d): the query side is the mod-300 decimation of
+    the edge table itself — every query DataFrame row gets its 5 nearest
+    index edges (rank 1 is itself at distance 0) with both sides staying
+    distributed end to end; the oracle is the exact cross-join top-k over
+    the same decimation."""
+    e = _edges(spark, sf_dir)
+    qdf = e.filter(F.col("edge_id") % 300 == 0).select(
+        F.col("edge_id").alias("query_id"), "alat", "alng", "blat", "blng"
+    )
+    res = knn.knn_edges_join_tables(
+        qdf, e, k=5, registered_df=_edges_registered(spark, sf_dir)
+    )
+    return res.select("query_id", "rank", "edge_id")
+
+
 def _cell_targets():
     from s2geometry_d_spark.s2core.cellid import CellId
 
@@ -1286,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_edges_maxerror": _q_knn_edges_maxerror,
         "knn_edge_targets": _q_knn_edge_targets,
         "knn_cell_targets": _q_knn_cell_targets,
+        "knn_table_join": _q_knn_table_join,
         "furthest_join": _q_furthest,
         "nearest_polyline_join": _q_nearest_polyline,
         "polyline_within_distance": _q_polyline_within_distance,
@@ -1730,6 +1748,40 @@ edges_all AS (
 ),
 e AS (SELECT * FROM edges_all WHERE blat IS NOT NULL),
 q AS (SELECT * FROM (VALUES {targets}) AS q(query_id, cx, cy, cz, dx, dy, dz)),
+scored AS ({scored})
+SELECT query_id, rank, edge_id FROM (
+  SELECT query_id, edge_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, edge_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _knn_table_join_sql() -> str:
+    from s2geometry_d_spark.functions import edgedist, edgepair
+
+    a_cols = ",\n       ".join(edgedist.xyz_exprs("alat", "alng", "a"))
+    c_cols = ",\n       ".join(edgedist.xyz_exprs("qalat", "qalng", "c"))
+    d_cols = ",\n       ".join(edgedist.xyz_exprs("qblat", "qblng", "d"))
+    b_cols = ",\n       ".join(edgedist.xyz_exprs("blat", "blng", "b"))
+    inner = (
+        f"SELECT qe.query_id, e.edge_id,\n"
+        f"       {a_cols},\n       {b_cols},\n       {c_cols},\n       {d_cols}\n"
+        "FROM e CROSS JOIN qe"
+    )
+    scored = edgepair.pair_dist2_select_sql(inner, "query_id, edge_id")
+    return f"""
+WITH points AS ({demo.points_cte()}),
+edges_all AS (
+  SELECT point_id AS edge_id, lat AS alat, lng AS alng,
+         lead(lat) OVER ({_EDGE_ORDER}) AS blat,
+         lead(lng) OVER ({_EDGE_ORDER}) AS blng
+  FROM points
+),
+e AS (SELECT * FROM edges_all WHERE blat IS NOT NULL),
+qe AS (SELECT edge_id AS query_id, alat AS qalat, alng AS qalng,
+              blat AS qblat, blng AS qblng
+       FROM e WHERE edge_id % 300 = 0),
 scored AS ({scored})
 SELECT query_id, rank, edge_id FROM (
   SELECT query_id, edge_id,
@@ -2424,6 +2476,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_edges_maxerror": _knn_edges_sql(),
         "knn_edge_targets": _knn_edge_targets_sql(),
         "knn_cell_targets": _knn_cell_targets_sql(),
+        "knn_table_join": _knn_table_join_sql(),
         "edge_face_span": _edge_face_span_sql(),
         "furthest_join": _furthest_sql(),
         "nearest_polyline_join": _nearest_polyline_sql(),

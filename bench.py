@@ -81,6 +81,7 @@ EXTRA = [
     "knn_maxerror",
     "knn_region",
     "knn_cell_targets",
+    "knn_table_join",
     "edge_face_span",
 ]
 

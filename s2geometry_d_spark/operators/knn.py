@@ -267,6 +267,67 @@ def edge_register_cells_udf():
     return reg
 
 
+def edge_buffer_cells_udf():
+    """(alat, alng, blat, blng, extra_radius_rad) -> array<long signed>:
+    cell-union bound of the edge's bounding cap EXPANDED by a per-row
+    radius — the covering of "everything within r of this edge", used by
+    the table-to-table kNN join's distributed ring expansion.  Same
+    vectorized construction as edge_register_cells_udf with the buffer
+    radius added before level selection."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def reg(
+        alat: pd.Series,
+        alng: pd.Series,
+        blat: pd.Series,
+        blng: pd.Series,
+        extra_rad: pd.Series,
+    ) -> pd.Series:
+        from ..s2core import cellid as ci
+        from ..s2core import coords, metrics
+
+        ax, ay, az = coords.latlng_to_xyz(
+            alat.to_numpy(dtype=np.float64), alng.to_numpy(dtype=np.float64)
+        )
+        bx, by, bz = coords.latlng_to_xyz(
+            blat.to_numpy(dtype=np.float64), blng.to_numpy(dtype=np.float64)
+        )
+        mx, my, mz = ax + bx, ay + by, az + bz
+        mn = np.sqrt(mx * mx + my * my + mz * mz)
+        mn = np.where(mn == 0, 1.0, mn)
+        mx, my, mz = mx / mn, my / mn, mz / mn
+        r2 = np.maximum(
+            (mx - ax) ** 2 + (my - ay) ** 2 + (mz - az) ** 2,
+            (mx - bx) ** 2 + (my - by) ** 2 + (mz - bz) ** 2,
+        )
+        radius = 2.0 * np.arcsin(np.minimum(1.0, 0.5 * np.sqrt(r2)))
+        radius = np.minimum(radius + extra_rad.to_numpy(dtype=np.float64), np.pi)
+        safe = np.maximum(radius, 1e-300)
+        lvl = np.clip(
+            np.frexp(metrics.MIN_WIDTH.deriv / safe)[1] - 1, 0, 30
+        ).astype(np.int64) - 1
+
+        n = ax.shape[0]
+        out = np.empty(n, dtype=object)
+        fine = lvl >= 0
+        if fine.any():
+            leafs = ci.from_xyz(mx[fine], my[fine], mz[fine])
+            neigh = ci.vertex_neighbors(leafs, np.minimum(lvl[fine], 29))
+            signed = ci.to_signed(neigh.reshape(-1)).reshape(-1, 4)
+            for k, idx in enumerate(np.nonzero(fine)[0]):
+                out[idx] = signed[k].tolist()
+        if (~fine).any():
+            faces = [
+                int(np.int64(np.uint64(ci.CellId.from_face(f).id) ^ np.uint64(1 << 63)))
+                for f in range(6)
+            ]
+            for idx in np.nonzero(~fine)[0]:
+                out[idx] = faces
+        return pd.Series(out)
+
+    return reg
+
+
 def register_edges(edges_df: DataFrame) -> DataFrame:
     """Registered-cell edge index: one row per (edge, covering cell).
 
@@ -848,6 +909,202 @@ def knn_edges_to_cells(
         results = topk if results is None else results.unionByName(topk)
 
     return results
+
+
+def knn_edges_join_tables(
+    query_edges_df: DataFrame,
+    index_edges_df: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    edge_id_col: str = "edge_id",
+    initial_radius_deg: float = 1.0,
+    max_rounds: int = 5,
+    registered_df: DataFrame | None = None,
+) -> DataFrame:
+    """TABLE-to-TABLE closest-edge join — the reference's ShapeIndexTarget
+    (s2min_distance_targets.d S2MinDistanceShapeIndexTarget: the query side
+    is itself an indexed edge collection, not a driver list): for EVERY row
+    of ``query_edges_df``, the k nearest edges of ``index_edges_df``.
+
+    This is the 100 TB shape of the kNN family: both sides stay
+    DataFrames end to end.  Each round r buffers every still-pending query
+    edge by r (edge_buffer_cells_udf — a per-row <=4/6-cell covering of
+    "everything within r of the edge"), candidate-joins against the
+    registered index cells with a prefix equi-join at the index's min
+    registered level (+ per-level equi-joins for coarser buffer cells —
+    prefix sharing is complete for nested cells, over-generation is merely
+    scored away), scores the engine-shared pair fragment, and certifies a
+    query DONE when its k-th distance is <= r (the buffer covering proves
+    nothing nearer was missed).  Finished queries leave the pending set by
+    anti-join; the driver never holds geometry or results — only the round
+    counter.  Stragglers after max_rounds (antipodal-gap cases) fall back
+    to a broadcast cross join of the (small) remainder.
+
+    Both query columns are expected as (query_id, alat, alng, blat, blng);
+    returns (query_id, edge_id, rank, dist2).
+    """
+    from ..functions import edgedist, edgepair
+
+    spark = query_edges_df.sparkSession
+    # Catalyst's constraint propagation canonicalizes every aliased
+    # intermediate through the round's filter+window+join pipeline; with 62
+    # chained scoring aliases the constraint set grows combinatorially and
+    # OOMs the driver (getAllValidConstraints -> semanticEquals on huge Add
+    # chains — reproduced on an 800-edge fixture).  The inference buys
+    # nothing here (all joins are equi-joins on ids/cells), so turn it off
+    # for the operator's plan constructions and restore after.
+    _cp_key = "spark.sql.constraintPropagation.enabled"
+    _cp_prev = spark.conf.get(_cp_key, "true")
+    spark.conf.set(_cp_key, "false")
+
+    registered = (
+        registered_df if registered_df is not None else register_edges(index_edges_df)
+    )
+    jl_row = registered.agg(
+        F.min(
+            F.lit(30)
+            - (
+                F.log2(
+                    F.col("ecell").bitwiseAND(-F.col("ecell")).cast("double")
+                )
+                / F.lit(2.0)
+            ).cast("int")
+        )
+    ).collect()[0]
+    jl = int(jl_row[0])
+    keyed_idx = registered.withColumn(
+        "_jk", kernels.parent_signed(F.col("ecell"), jl)
+    ).select("_jk", "ecell", edge_id_col)
+
+    q = query_edges_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("alat").alias("qalat"),
+        F.col("alng").alias("qalng"),
+        F.col("blat").alias("qblat"),
+        F.col("blng").alias("qblng"),
+    )
+    idx_geom = index_edges_df.select(
+        edge_id_col, "alat", "alng", "blat", "blng"
+    )
+    # xyz endpoints are materialized ONCE as plain columns on both sides
+    # (a narrow map-only projection).  Leaving them as trig EXPRESSIONS
+    # makes CollapseProject substitute them into all 62 scoring
+    # intermediates and Catalyst's commutative-expression canonicalization
+    # (cache lookup against the persisted registration) then blows the
+    # driver heap — observed even on an 800-edge fixture.
+    q_xyz = q.selectExpr(
+        "query_id",
+        *edgedist.xyz_exprs("qalat", "qalng", "c"),
+        *edgedist.xyz_exprs("qblat", "qblng", "d"),
+    ).localCheckpoint(eager=True)
+    idx_xyz = idx_geom.selectExpr(
+        edge_id_col,
+        *edgedist.xyz_exprs("alat", "alng", "a"),
+        *edgedist.xyz_exprs("blat", "blng", "b"),
+    ).localCheckpoint(eager=True)
+
+    buffer_cells = edge_buffer_cells_udf()
+    qlvl = F.lit(30) - (
+        F.log2(F.col("qcell").bitwiseAND(-F.col("qcell")).cast("double"))
+        / F.lit(2.0)
+    ).cast("int")
+
+    def _score(cand: DataFrame) -> DataFrame:
+        cand = cand.join(q_xyz, "query_id").join(idx_xyz, edge_id_col)
+        scored = edgepair.with_pair_dist2(cand)
+        return scored.select("query_id", edge_id_col, "dist2")
+
+    # each round's pending/topk are localCheckpoint'ed (eager): the
+    # anti-join of round t otherwise NESTS round t-1's full 62-intermediate
+    # scoring plan, and the analyzed tree grows exponentially with rounds
+    # (observed as a driver-side Catalyst OOM, not an executor problem)
+    pending = q.localCheckpoint(eager=True)
+    results = None
+    radius = initial_radius_deg
+    for _ in range(max_rounds):
+        r2 = chord2_from_radians(math.radians(min(radius, 170.0)))
+        cells = pending.select(
+            "query_id",
+            F.explode(
+                F.array_distinct(
+                    buffer_cells(
+                        F.col("qalat"),
+                        F.col("qalng"),
+                        F.col("qblat"),
+                        F.col("qblng"),
+                        F.lit(math.radians(min(radius, 170.0))),
+                    )
+                )
+            ).alias("qcell"),
+        ).withColumn("_ql", qlvl)
+
+        fine = cells.filter(F.col("_ql") >= jl).withColumn(
+            "_jk", kernels.parent_signed(F.col("qcell"), jl)
+        )
+        cand = fine.join(keyed_idx, "_jk").select("query_id", edge_id_col)
+        coarse_levels = [
+            int(r["_ql"])
+            for r in cells.filter(F.col("_ql") < jl)
+            .select("_ql")
+            .distinct()
+            .collect()
+        ]
+        for lvl in coarse_levels:
+            cj = (
+                cells.filter(F.col("_ql") == lvl)
+                .join(
+                    registered.withColumn(
+                        "qcell", kernels.parent_signed(F.col("ecell"), lvl)
+                    ).select("qcell", edge_id_col),
+                    "qcell",
+                )
+                .select("query_id", edge_id_col)
+            )
+            cand = cand.unionByName(cj)
+        cand = cand.dropDuplicates(["query_id", edge_id_col])
+
+        scored = _score(cand).filter(F.col("dist2") <= F.lit(r2))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist2").asc(), F.col(edge_id_col).asc()
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .localCheckpoint(eager=True)
+        )
+        # a query is certified complete when its k-th distance is inside
+        # the ring (the buffer covering proves nothing nearer was missed)
+        done_q = (
+            topk.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("_n"), F.max("dist2").alias("_kth"))
+            .filter((F.col("_n") >= k) & (F.col("_kth") <= F.lit(r2)))
+            .select("query_id")
+        )
+        finished = topk.join(done_q, "query_id", "left_semi")
+        results = finished if results is None else results.unionByName(finished)
+        pending = pending.join(done_q, "query_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        radius *= 2.0
+        if radius > 180.0 * 2:
+            break
+
+    # stragglers: broadcast the (small) remainder against the full index
+    if pending.limit(1).count() > 0:
+        cand = pending.select("query_id").crossJoin(idx_geom.select(edge_id_col))
+        scored = _score(cand)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist2").asc(), F.col(edge_id_col).asc()
+        )
+        topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+        results = topk if results is None else results.unionByName(topk)
+    out = results.select(
+        "query_id", edge_id_col, "rank", "dist2"
+    ).localCheckpoint(eager=True)
+    spark.conf.set(_cp_key, _cp_prev)
+    return out
 
 
 def furthest_points_join(

@@ -479,3 +479,31 @@ def test_knn_cell_targets_matches_scalar_brute_force(spark, edges):
     # ties at dist2==0 may order differently between float paths only if
     # dist2 differs; both sides break ties by edge_id on exact-equal dist2
     assert got_by_q == want
+
+
+def test_knn_table_join_matches_driver_list_variant(spark, edges):
+    """TABLE-to-TABLE closest-edge join == the driver-list EDGE-target
+    variant on the same query set (which is itself oracled) — identical
+    scoring fragment and tie-breaks, so results must match exactly."""
+    qrows = edges.filter(F.col("edge_id") % 133 == 0).collect()
+    qlist = [
+        (int(r["edge_id"]), (r["alat"], r["alng"]), (r["blat"], r["blng"]))
+        for r in qrows
+    ]
+    want = {
+        (r["query_id"], r["rank"]): r["edge_id"]
+        for r in knn.knn_edges_to_edges(edges, qlist, k=5)
+        .select("query_id", "rank", "edge_id")
+        .collect()
+    }
+    qdf = edges.filter(F.col("edge_id") % 133 == 0).select(
+        F.col("edge_id").alias("query_id"), "alat", "alng", "blat", "blng"
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["edge_id"]
+        for r in knn.knn_edges_join_tables(qdf, edges, k=5).collect()
+    }
+    assert got == want and len(want) == 5 * len(qlist)
+    # every query's rank-1 is itself at distance 0 (self-pair)
+    for qid, _, _ in qlist:
+        assert got[(qid, 1)] is not None
