@@ -92,10 +92,19 @@ def knn_join(
     if region is not None:
         from .spatial_join import points_in_regions
 
-        points_df = points_in_regions(
-            points_df, [("_knn_region", region)], lat_col=lat_col,
-            lng_col=lng_col, cell_col=cell_col,
-        ).drop("region_id")
+        # materialize the region-filtered subset ONCE (localCheckpoint):
+        # every ring round and the brute fallback re-scan the candidate
+        # table, and re-running the covering/PIP lineage per round turned
+        # a 2s query into minutes at sf0.1.  Cost is O(|in-region
+        # points|), the same artifact the reference's region option builds.
+        points_df = (
+            points_in_regions(
+                points_df, [("_knn_region", region)], lat_col=lat_col,
+                lng_col=lng_col, cell_col=cell_col,
+            )
+            .drop("region_id")
+            .localCheckpoint(eager=True)
+        )
 
     def q_xyz(qid, lat, lng):
         return queries_xyz.get(qid) or _xyz(lat, lng)
