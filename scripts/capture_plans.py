@@ -53,6 +53,26 @@ SECTIONS = [
         "per-probe array duplication; the per-tile aggregate subtree is "
         "localCheckpointed so three consumers read it once",
     ),
+    (
+        "edge_face_span",
+        "round-5: struct-returning pandas UDF projected into two fields via "
+        "the explode-inline pattern — ONE ArrowEvalPython even though "
+        "CollapseProject would clone the UDF per extracted field",
+    ),
+    (
+        "index_region_check",
+        "round-5: index-as-region contains/mayIntersect for a 3-level "
+        "target-cell table — broadcast-hash index joins (the target side "
+        "never exchanges), Arrow kernels only on the boundary slice, one "
+        "exploded pass for all levels",
+    ),
+    (
+        "knn_table_join",
+        "round-5: table-to-table closest-edge join result — the round "
+        "pipeline retires queries by anti-join with per-round lineage "
+        "truncation, so the returned plan reads checkpointed round outputs, "
+        "not a re-executable probe cascade",
+    ),
 ]
 
 
