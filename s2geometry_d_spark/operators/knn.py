@@ -965,154 +965,156 @@ def knn_edges_join_tables(
     _cp_key = "spark.sql.constraintPropagation.enabled"
     _cp_prev = spark.conf.get(_cp_key, "true")
     spark.conf.set(_cp_key, "false")
+    try:
 
-    registered = (
-        registered_df if registered_df is not None else register_edges(index_edges_df)
-    )
-    jl_row = registered.agg(
-        F.min(
-            F.lit(30)
-            - (
-                F.log2(
-                    F.col("ecell").bitwiseAND(-F.col("ecell")).cast("double")
-                )
-                / F.lit(2.0)
-            ).cast("int")
+        registered = (
+            registered_df if registered_df is not None else register_edges(index_edges_df)
         )
-    ).collect()[0]
-    jl = int(jl_row[0])
-    keyed_idx = registered.withColumn(
-        "_jk", kernels.parent_signed(F.col("ecell"), jl)
-    ).select("_jk", "ecell", edge_id_col)
-
-    q = query_edges_df.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col("alat").alias("qalat"),
-        F.col("alng").alias("qalng"),
-        F.col("blat").alias("qblat"),
-        F.col("blng").alias("qblng"),
-    )
-    idx_geom = index_edges_df.select(
-        edge_id_col, "alat", "alng", "blat", "blng"
-    )
-    # xyz endpoints are materialized ONCE as plain columns on both sides
-    # (a narrow map-only projection).  Leaving them as trig EXPRESSIONS
-    # makes CollapseProject substitute them into all 62 scoring
-    # intermediates and Catalyst's commutative-expression canonicalization
-    # (cache lookup against the persisted registration) then blows the
-    # driver heap — observed even on an 800-edge fixture.
-    q_xyz = q.selectExpr(
-        "query_id",
-        *edgedist.xyz_exprs("qalat", "qalng", "c"),
-        *edgedist.xyz_exprs("qblat", "qblng", "d"),
-    ).localCheckpoint(eager=True)
-    idx_xyz = idx_geom.selectExpr(
-        edge_id_col,
-        *edgedist.xyz_exprs("alat", "alng", "a"),
-        *edgedist.xyz_exprs("blat", "blng", "b"),
-    ).localCheckpoint(eager=True)
-
-    buffer_cells = edge_buffer_cells_udf()
-    qlvl = F.lit(30) - (
-        F.log2(F.col("qcell").bitwiseAND(-F.col("qcell")).cast("double"))
-        / F.lit(2.0)
-    ).cast("int")
-
-    def _score(cand: DataFrame) -> DataFrame:
-        cand = cand.join(q_xyz, "query_id").join(idx_xyz, edge_id_col)
-        scored = edgepair.with_pair_dist2(cand)
-        return scored.select("query_id", edge_id_col, "dist2")
-
-    # each round's pending/topk are localCheckpoint'ed (eager): the
-    # anti-join of round t otherwise NESTS round t-1's full 62-intermediate
-    # scoring plan, and the analyzed tree grows exponentially with rounds
-    # (observed as a driver-side Catalyst OOM, not an executor problem)
-    pending = q.localCheckpoint(eager=True)
-    results = None
-    radius = initial_radius_deg
-    for _ in range(max_rounds):
-        r2 = chord2_from_radians(math.radians(min(radius, 170.0)))
-        cells = pending.select(
-            "query_id",
-            F.explode(
-                F.array_distinct(
-                    buffer_cells(
-                        F.col("qalat"),
-                        F.col("qalng"),
-                        F.col("qblat"),
-                        F.col("qblng"),
-                        F.lit(math.radians(min(radius, 170.0))),
+        jl_row = registered.agg(
+            F.min(
+                F.lit(30)
+                - (
+                    F.log2(
+                        F.col("ecell").bitwiseAND(-F.col("ecell")).cast("double")
                     )
-                )
-            ).alias("qcell"),
-        ).withColumn("_ql", qlvl)
-
-        fine = cells.filter(F.col("_ql") >= jl).withColumn(
-            "_jk", kernels.parent_signed(F.col("qcell"), jl)
-        )
-        cand = fine.join(keyed_idx, "_jk").select("query_id", edge_id_col)
-        coarse_levels = [
-            int(r["_ql"])
-            for r in cells.filter(F.col("_ql") < jl)
-            .select("_ql")
-            .distinct()
-            .collect()
-        ]
-        for lvl in coarse_levels:
-            cj = (
-                cells.filter(F.col("_ql") == lvl)
-                .join(
-                    registered.withColumn(
-                        "qcell", kernels.parent_signed(F.col("ecell"), lvl)
-                    ).select("qcell", edge_id_col),
-                    "qcell",
-                )
-                .select("query_id", edge_id_col)
+                    / F.lit(2.0)
+                ).cast("int")
             )
-            cand = cand.unionByName(cj)
-        cand = cand.dropDuplicates(["query_id", edge_id_col])
+        ).collect()[0]
+        jl = int(jl_row[0])
+        keyed_idx = registered.withColumn(
+            "_jk", kernels.parent_signed(F.col("ecell"), jl)
+        ).select("_jk", "ecell", edge_id_col)
 
-        scored = _score(cand).filter(F.col("dist2") <= F.lit(r2))
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("dist2").asc(), F.col(edge_id_col).asc()
+        q = query_edges_df.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col("alat").alias("qalat"),
+            F.col("alng").alias("qalng"),
+            F.col("blat").alias("qblat"),
+            F.col("blng").alias("qblng"),
         )
-        topk = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .localCheckpoint(eager=True)
+        idx_geom = index_edges_df.select(
+            edge_id_col, "alat", "alng", "blat", "blng"
         )
-        # a query is certified complete when its k-th distance is inside
-        # the ring (the buffer covering proves nothing nearer was missed)
-        done_q = (
-            topk.groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("_n"), F.max("dist2").alias("_kth"))
-            .filter((F.col("_n") >= k) & (F.col("_kth") <= F.lit(r2)))
-            .select("query_id")
-        )
-        finished = topk.join(done_q, "query_id", "left_semi")
-        results = finished if results is None else results.unionByName(finished)
-        pending = pending.join(done_q, "query_id", "left_anti").localCheckpoint(
-            eager=True
-        )
-        radius *= 2.0
-        if radius > 180.0 * 2:
-            break
+        # xyz endpoints are materialized ONCE as plain columns on both sides
+        # (a narrow map-only projection).  Leaving them as trig EXPRESSIONS
+        # makes CollapseProject substitute them into all 62 scoring
+        # intermediates and Catalyst's commutative-expression canonicalization
+        # (cache lookup against the persisted registration) then blows the
+        # driver heap — observed even on an 800-edge fixture.
+        q_xyz = q.selectExpr(
+            "query_id",
+            *edgedist.xyz_exprs("qalat", "qalng", "c"),
+            *edgedist.xyz_exprs("qblat", "qblng", "d"),
+        ).localCheckpoint(eager=True)
+        idx_xyz = idx_geom.selectExpr(
+            edge_id_col,
+            *edgedist.xyz_exprs("alat", "alng", "a"),
+            *edgedist.xyz_exprs("blat", "blng", "b"),
+        ).localCheckpoint(eager=True)
 
-    # stragglers: broadcast the (small) remainder against the full index
-    if pending.limit(1).count() > 0:
-        cand = pending.select("query_id").crossJoin(idx_geom.select(edge_id_col))
-        scored = _score(cand)
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("dist2").asc(), F.col(edge_id_col).asc()
-        )
-        topk = scored.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
-        )
-        results = topk if results is None else results.unionByName(topk)
-    out = results.select(
-        "query_id", edge_id_col, "rank", "dist2"
-    ).localCheckpoint(eager=True)
-    spark.conf.set(_cp_key, _cp_prev)
+        buffer_cells = edge_buffer_cells_udf()
+        qlvl = F.lit(30) - (
+            F.log2(F.col("qcell").bitwiseAND(-F.col("qcell")).cast("double"))
+            / F.lit(2.0)
+        ).cast("int")
+
+        def _score(cand: DataFrame) -> DataFrame:
+            cand = cand.join(q_xyz, "query_id").join(idx_xyz, edge_id_col)
+            scored = edgepair.with_pair_dist2(cand)
+            return scored.select("query_id", edge_id_col, "dist2")
+
+        # each round's pending/topk are localCheckpoint'ed (eager): the
+        # anti-join of round t otherwise NESTS round t-1's full 62-intermediate
+        # scoring plan, and the analyzed tree grows exponentially with rounds
+        # (observed as a driver-side Catalyst OOM, not an executor problem)
+        pending = q.localCheckpoint(eager=True)
+        results = None
+        radius = initial_radius_deg
+        for _ in range(max_rounds):
+            r2 = chord2_from_radians(math.radians(min(radius, 170.0)))
+            cells = pending.select(
+                "query_id",
+                F.explode(
+                    F.array_distinct(
+                        buffer_cells(
+                            F.col("qalat"),
+                            F.col("qalng"),
+                            F.col("qblat"),
+                            F.col("qblng"),
+                            F.lit(math.radians(min(radius, 170.0))),
+                        )
+                    )
+                ).alias("qcell"),
+            ).withColumn("_ql", qlvl)
+
+            fine = cells.filter(F.col("_ql") >= jl).withColumn(
+                "_jk", kernels.parent_signed(F.col("qcell"), jl)
+            )
+            cand = fine.join(keyed_idx, "_jk").select("query_id", edge_id_col)
+            coarse_levels = [
+                int(r["_ql"])
+                for r in cells.filter(F.col("_ql") < jl)
+                .select("_ql")
+                .distinct()
+                .collect()
+            ]
+            for lvl in coarse_levels:
+                cj = (
+                    cells.filter(F.col("_ql") == lvl)
+                    .join(
+                        registered.withColumn(
+                            "qcell", kernels.parent_signed(F.col("ecell"), lvl)
+                        ).select("qcell", edge_id_col),
+                        "qcell",
+                    )
+                    .select("query_id", edge_id_col)
+                )
+                cand = cand.unionByName(cj)
+            cand = cand.dropDuplicates(["query_id", edge_id_col])
+
+            scored = _score(cand).filter(F.col("dist2") <= F.lit(r2))
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("dist2").asc(), F.col(edge_id_col).asc()
+            )
+            topk = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .localCheckpoint(eager=True)
+            )
+            # a query is certified complete when its k-th distance is inside
+            # the ring (the buffer covering proves nothing nearer was missed)
+            done_q = (
+                topk.groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("_n"), F.max("dist2").alias("_kth"))
+                .filter((F.col("_n") >= k) & (F.col("_kth") <= F.lit(r2)))
+                .select("query_id")
+            )
+            finished = topk.join(done_q, "query_id", "left_semi")
+            results = finished if results is None else results.unionByName(finished)
+            pending = pending.join(done_q, "query_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            radius *= 2.0
+            if radius > 180.0 * 2:
+                break
+
+        # stragglers: broadcast the (small) remainder against the full index
+        if pending.limit(1).count() > 0:
+            cand = pending.select("query_id").crossJoin(idx_geom.select(edge_id_col))
+            scored = _score(cand)
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("dist2").asc(), F.col(edge_id_col).asc()
+            )
+            topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+                F.col("rank") <= k
+            )
+            results = topk if results is None else results.unionByName(topk)
+        out = results.select(
+            "query_id", edge_id_col, "rank", "dist2"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(_cp_key, _cp_prev)
     return out
 
 
