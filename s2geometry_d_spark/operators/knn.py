@@ -1110,6 +1110,32 @@ def knn_edges_join_tables(
                 F.col("rank") <= k
             )
             results = topk if results is None else results.unionByName(topk)
+        if results is None:
+            # empty query table: no round certified and no stragglers —
+            # emit an empty frame with id types taken from the inputs so the
+            # schema matches the non-empty path exactly
+            from pyspark.sql.types import (
+                DoubleType,
+                IntegerType,
+                StructField,
+                StructType,
+            )
+
+            results = spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField(
+                            "query_id", q.schema["query_id"].dataType
+                        ),
+                        StructField(
+                            edge_id_col, idx_geom.schema[edge_id_col].dataType
+                        ),
+                        StructField("rank", IntegerType()),
+                        StructField("dist2", DoubleType()),
+                    ]
+                ),
+            )
         out = results.select(
             "query_id", edge_id_col, "rank", "dist2"
         ).localCheckpoint(eager=True)

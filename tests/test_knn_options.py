@@ -507,3 +507,23 @@ def test_knn_table_join_matches_driver_list_variant(spark, edges):
     # every query's rank-1 is itself at distance 0 (self-pair)
     for qid, _, _ in qlist:
         assert got[(qid, 1)] is not None
+
+
+def test_knn_table_join_empty_query_table(spark, edges):
+    """An empty query table yields an empty result with the SAME schema as
+    the non-empty path (id types taken from the inputs) — no round ever
+    certifies, so the operator must synthesize the frame itself."""
+    qdf = edges.filter(F.lit(False)).select(
+        F.col("edge_id").alias("query_id"), "alat", "alng", "blat", "blng"
+    )
+    out = knn.knn_edges_join_tables(qdf, edges, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id",
+        "edge_id",
+        "rank",
+        "dist2",
+    ]
+    # id columns keep the input (long) type, matching the non-empty path
+    assert out.schema["query_id"].dataType == edges.schema["edge_id"].dataType
+    assert out.schema["edge_id"].dataType == edges.schema["edge_id"].dataType
