@@ -687,6 +687,51 @@ def _q_crossing_unified(spark, sf_dir):
     return out.select("target_id", F.col("edge_id").cast("long").alias("edge_id"))
 
 
+# jittered chords: each point gets a CLOSED-FORM second endpoint (+-2 deg
+# hash jitter in lat and lng) — a map-only derivation (no window, no sort),
+# short at every sf, and dense criss-crossing wherever points are dense.
+# Consecutive-point sweep edges would be lng-DISJOINT within a strip
+# (~0 crossings); long strided chords defeat the cell pruning.  No two
+# jittered chords share a vertex, so every reported pair is a PROPER cross.
+_SELF_PAIRS_MOD = 3
+_SELF_JLAT = "(((point_id * 1103515245 + 98765) % 1000003) / 1000003e0 - 0.5e0) * 4e0"
+_SELF_JLNG = "(((point_id * 1597334677 + 424242) % 1000003) / 1000003e0 - 0.5e0) * 4e0"
+
+
+def _chord_edges(spark, sf_dir):
+    return (
+        _points(spark, sf_dir)
+        .selectExpr(
+            "point_id AS edge_id",
+            "lat AS alat",
+            "lng AS alng",
+            f"greatest(-89.95e0, least(89.95e0, lat + {_SELF_JLAT})) AS blat",
+            f"lng + {_SELF_JLNG} AS blng",
+        )
+        .filter(F.col("edge_id") % _SELF_PAIRS_MOD == 0)
+    )
+
+
+def _q_crossing_pairs_self(spark, sf_dir):
+    """Single-TABLE crossing sweep (shapeutil/visit_crossing_edge_pairs.d):
+    every properly-crossing unordered edge pair within one edge table,
+    reported once, via the registered-cell ancestor join — never all-pairs.
+    The DuckDB oracle forms the subset's explicit pair join with the same
+    det-product condition; the engine never does."""
+    from s2geometry_d_spark.operators.crossing import crossing_pairs_self
+
+    e = _chord_edges(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "selfpairs_reg")
+    reg = _REGISTERED_CACHE.get(key)
+    if reg is None:
+        from s2geometry_d_spark.operators import knn as _knn
+
+        reg = _knn.register_edges(e)
+        _REGISTERED_CACHE[key] = reg
+    out = crossing_pairs_self(e, registered_df=reg)
+    return out.select("id_a", "id_b")
+
+
 WITHIN_QUERIES = [("q1", 48.85, 2.35), ("q2", -33.86, 151.21), ("q3", 10.0, 179.9)]
 WITHIN_RADIUS = 8.0
 
@@ -1310,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_face_span": _q_edge_face_span,
         "crossing_edges_join": _q_crossing_edges,
         "crossing_unified_index": _q_crossing_unified,
+        "crossing_pairs_self": _q_crossing_pairs_self,
         "polygon_overlay": _q_polygon_overlay_op("intersection"),
         "clip_polylines": _q_clip_polylines,
         "polygon_union_many": _q_polygon_union_many,
@@ -1924,6 +1970,52 @@ exyz AS (SELECT edge_id, {a_cols}, {b_cols} FROM e)
 """
 
 
+def _crossing_pairs_self_sql() -> str:
+    """Self-pair proper crossings over the edge_id % 7 subset, det-product
+    form with BOTH edges as columns (n_a = A x B per edge computed once):
+    s1 = n_a.C, s2 = n_a.D, s3 = n_b.A, s4 = n_b.B; crossing iff
+    s1*s2 < 0 AND s2*s3 > 0 AND s3*s4 < 0 — the same four-orientation
+    condition crossingSign evaluates, exact in generic position.  The pair
+    join is explicit here (oracle-only, ~2.1k-edge subset at sf0.01); the
+    engine never forms it."""
+    from s2geometry_d_spark.functions import edgedist
+
+    a_cols = ",\n       ".join(edgedist.xyz_exprs("alat", "alng", "a"))
+    b_cols = ",\n       ".join(edgedist.xyz_exprs("blat", "blng", "b"))
+    s1 = "(a.nx*b.ax + a.ny*b.ay + a.nz*b.az)"
+    s2 = "(a.nx*b.bx + a.ny*b.by + a.nz*b.bz)"
+    s3 = "(b.nx*a.ax + b.ny*a.ay + b.nz*a.az)"
+    s4 = "(b.nx*a.bx + b.ny*a.by + b.nz*a.bz)"
+    return f"""
+WITH points AS ({demo.points_cte()}),
+-- jittered chords, every {_SELF_PAIRS_MOD}rd point: see _chord_edges
+-- (closed-form +-2deg endpoints => short local edges, dense crossings)
+e AS (
+  SELECT point_id AS edge_id, lat AS alat, lng AS alng,
+         greatest(-89.95e0, least(89.95e0, lat + {_SELF_JLAT})) AS blat,
+         lng + {_SELF_JLNG} AS blng
+  FROM points
+  WHERE point_id % {_SELF_PAIRS_MOD} = 0
+),
+exyz AS (SELECT edge_id, {a_cols}, {b_cols} FROM e),
+cr AS (
+  SELECT edge_id, ax, ay, az, bx, by, bz,
+         ay*bz - az*by AS nx, az*bx - ax*bz AS ny, ax*by - ay*bx AS nz
+  FROM exyz
+)
+SELECT a.edge_id AS id_a, b.edge_id AS id_b
+FROM cr a JOIN cr b ON a.edge_id < b.edge_id
+WHERE {s1}*{s2} < 0 AND {s2}*{s3} > 0 AND {s3}*{s4} < 0
+  -- shared-vertex pairs are NOT proper crossings (crossingSign == 0); the
+  -- real s-values are exactly 0 there but float residuals (~1e-17) have
+  -- arbitrary sign, so exclude them the way the engine kernel does
+  AND NOT (a.ax = b.ax AND a.ay = b.ay AND a.az = b.az)
+  AND NOT (a.ax = b.bx AND a.ay = b.by AND a.az = b.bz)
+  AND NOT (a.bx = b.ax AND a.by = b.ay AND a.bz = b.az)
+  AND NOT (a.bx = b.bx AND a.by = b.by AND a.bz = b.bz)
+"""
+
+
 _SHINGLES_CTE = (
     "shingles AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS sh "
     "FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(1, length(text) - 7))) AS i "
@@ -2483,6 +2575,7 @@ def oracle_sql() -> dict[str, str]:
         "polyline_within_distance": _nearest_polyline_sql(k=5, max_dist_deg=_PL_WITHIN_DEG),
         "crossing_edges_join": _crossing_edges_sql(),
         "crossing_unified_index": _crossing_edges_sql(),
+        "crossing_pairs_self": _crossing_pairs_self_sql(),
         "polygon_overlay": demo.overlay_sql("intersection"),
         "polygon_overlay_union": demo.overlay_sql("union"),
         "polygon_overlay_diff": demo.overlay_sql("difference"),

@@ -120,3 +120,57 @@ def test_fixture_dets_clear_triage_band():
             assert not ((np.abs(arr) > 0) & (np.abs(arr) <= band)).any()
     # headroom report: smallest nonzero det vs the band
     assert worst > 10 * band
+
+
+def test_crossing_pairs_self_matches_bruteforce(spark):
+    """Single-table crossing sweep (visit_crossing_edge_pairs.d semantics):
+    every properly-crossing unordered pair, each exactly once, vs the
+    scalar all-pairs oracle.  Mix of short and long edges so registered
+    cells span several levels (the ancestor-join path is exercised)."""
+    from s2geometry_d_spark.operators.crossing import crossing_pairs_self
+
+    short = _random_edges(120, seed=11, spread=4.0)
+    long_ = [
+        (200 + i, la, ln, lb, lnb)
+        for i, la, ln, lb, lnb in _random_edges(15, seed=12, spread=45.0)
+    ]
+    table = short + long_
+    edges = spark.createDataFrame(
+        table, ["edge_id", "alat", "alng", "blat", "blng"]
+    )
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in crossing_pairs_self(edges).collect()
+    }
+
+    want = set()
+    for i, (ida, ala, aln, bla, bln) in enumerate(table):
+        a, b = latlng_point(ala, aln), latlng_point(bla, bln)
+        for idb, cla, cln, dla, dln in table[i + 1 :]:
+            c, d = latlng_point(cla, cln), latlng_point(dla, dln)
+            if pred.crossing_sign(a, b, c, d) > 0:
+                want.add((min(ida, idb), max(ida, idb)))
+    assert want, "fixture produced no self-crossings — not a useful test"
+    assert got == want
+    assert len(got) == len(set(got)), "pairs must be reported exactly once"
+
+
+def test_crossing_pairs_self_chain_reports_no_adjacent(spark):
+    """A polyline chain's consecutive edges share a vertex — NOT a proper
+    crossing (crossingSign==0 at shared vertices); an X pair IS reported."""
+    from s2geometry_d_spark.operators.crossing import crossing_pairs_self
+
+    chain = [
+        (0, 10.0, 10.0, 12.0, 14.0),
+        (1, 12.0, 14.0, 9.0, 17.0),   # shares (12,14) with edge 0
+        (2, 9.0, 17.0, 13.0, 20.0),   # shares (9,17) with edge 1
+        (10, 9.0, 11.0, 13.0, 13.0),  # crosses edge 0 in an X
+    ]
+    edges = spark.createDataFrame(
+        chain, ["edge_id", "alat", "alng", "blat", "blng"]
+    )
+    got = {
+        (r.id_a, r.id_b) for r in crossing_pairs_self(edges).collect()
+    }
+    assert got == {(0, 10)}

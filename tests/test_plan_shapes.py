@@ -233,3 +233,15 @@ def test_edge_face_span_evaluates_kernel_once(spark, entrymod):
     df = entrymod.queries()["edge_face_span"](spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("edge_face_span(") == 1, plan
+
+
+def test_crossing_pairs_self_single_kernel_no_cartesian(spark, entrymod):
+    """The single-table crossing sweep must stay candidate-driven: exactly
+    ONE pair-kernel ArrowEvalPython (triage + exact fallback), and never a
+    cartesian/nested-loop pair join — the all-pairs form is the oracle's
+    job, not the engine's."""
+    df = entrymod.queries()["crossing_pairs_self"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("crosses(") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
