@@ -712,6 +712,51 @@ def _chord_edges(spark, sf_dir):
     )
 
 
+# a second, independently-jittered chord table (disjoint point subset) for
+# the TABLE-to-TABLE crossing join
+_SELF_JLAT2 = "(((point_id * 1566083941 + 13579) % 1000003) / 1000003e0 - 0.5e0) * 4e0"
+_SELF_JLNG2 = "(((point_id * 1812433253 + 246801) % 1000003) / 1000003e0 - 0.5e0) * 4e0"
+
+
+def _chord_edges_b(spark, sf_dir):
+    return (
+        _points(spark, sf_dir)
+        .selectExpr(
+            "point_id AS edge_id",
+            "lat AS alat",
+            "lng AS alng",
+            f"greatest(-89.95e0, least(89.95e0, lat + {_SELF_JLAT2})) AS blat",
+            f"lng + {_SELF_JLNG2} AS blng",
+        )
+        .filter(F.col("edge_id") % _SELF_PAIRS_MOD == 1)
+    )
+
+
+def _q_crossing_pairs_tables(spark, sf_dir):
+    """TABLE-to-TABLE crossing join (S2CrossingEdgeQuery with an indexed
+    edge collection as the query side): every (a, b) proper crossing
+    between two independently-jittered chord tables over disjoint point
+    subsets — both sides DataFrames end to end, candidates from the
+    two-direction cell/ancestor equi-join, never all-pairs."""
+    from s2geometry_d_spark.operators.crossing import crossing_pairs_join
+    from s2geometry_d_spark.operators import knn as _knn
+
+    a = _chord_edges(spark, sf_dir)
+    b = _chord_edges_b(spark, sf_dir)
+    rega_key = (spark.sparkContext.applicationId, sf_dir, "selfpairs_reg")
+    rega = _REGISTERED_CACHE.get(rega_key)
+    if rega is None:
+        rega = _knn.register_edges(a)
+        _REGISTERED_CACHE[rega_key] = rega
+    regb_key = (spark.sparkContext.applicationId, sf_dir, "tablepairs_regb")
+    regb = _REGISTERED_CACHE.get(regb_key)
+    if regb is None:
+        regb = _knn.register_edges(b)
+        _REGISTERED_CACHE[regb_key] = regb
+    out = crossing_pairs_join(a, b, a_registered=rega, b_registered=regb)
+    return out.select("id_a", "id_b")
+
+
 def _q_crossing_pairs_self(spark, sf_dir):
     """Single-TABLE crossing sweep (shapeutil/visit_crossing_edge_pairs.d):
     every properly-crossing unordered edge pair within one edge table,
@@ -1356,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossing_edges_join": _q_crossing_edges,
         "crossing_unified_index": _q_crossing_unified,
         "crossing_pairs_self": _q_crossing_pairs_self,
+        "crossing_pairs_tables": _q_crossing_pairs_tables,
         "polygon_overlay": _q_polygon_overlay_op("intersection"),
         "clip_polylines": _q_clip_polylines,
         "polygon_union_many": _q_polygon_union_many,
@@ -2016,6 +2062,50 @@ WHERE {s1}*{s2} < 0 AND {s2}*{s3} > 0 AND {s3}*{s4} < 0
 """
 
 
+def _crossing_pairs_tables_sql() -> str:
+    """Cross-TABLE proper crossings between the two disjoint jittered chord
+    tables, same det-product form as _crossing_pairs_self_sql (no
+    shared-vertex clause needed: the point subsets are disjoint)."""
+    from s2geometry_d_spark.functions import edgedist
+
+    a_cols = ",\n       ".join(edgedist.xyz_exprs("alat", "alng", "a"))
+    b_cols = ",\n       ".join(edgedist.xyz_exprs("blat", "blng", "b"))
+    s1 = "(a.nx*b.ax + a.ny*b.ay + a.nz*b.az)"
+    s2 = "(a.nx*b.bx + a.ny*b.by + a.nz*b.bz)"
+    s3 = "(b.nx*a.ax + b.ny*a.ay + b.nz*a.az)"
+    s4 = "(b.nx*a.bx + b.ny*a.by + b.nz*a.bz)"
+    return f"""
+WITH points AS ({demo.points_cte()}),
+ea AS (
+  SELECT point_id AS edge_id, lat AS alat, lng AS alng,
+         greatest(-89.95e0, least(89.95e0, lat + {_SELF_JLAT})) AS blat,
+         lng + {_SELF_JLNG} AS blng
+  FROM points
+  WHERE point_id % {_SELF_PAIRS_MOD} = 0
+),
+eb AS (
+  SELECT point_id AS edge_id, lat AS alat, lng AS alng,
+         greatest(-89.95e0, least(89.95e0, lat + {_SELF_JLAT2})) AS blat,
+         lng + {_SELF_JLNG2} AS blng
+  FROM points
+  WHERE point_id % {_SELF_PAIRS_MOD} = 1
+),
+cra AS (
+  SELECT edge_id, ax, ay, az, bx, by, bz,
+         ay*bz - az*by AS nx, az*bx - ax*bz AS ny, ax*by - ay*bx AS nz
+  FROM (SELECT edge_id, {a_cols}, {b_cols} FROM ea)
+),
+crb AS (
+  SELECT edge_id, ax, ay, az, bx, by, bz,
+         ay*bz - az*by AS nx, az*bx - ax*bz AS ny, ax*by - ay*bx AS nz
+  FROM (SELECT edge_id, {a_cols}, {b_cols} FROM eb)
+)
+SELECT a.edge_id AS id_a, b.edge_id AS id_b
+FROM cra a JOIN crb b
+  ON {s1}*{s2} < 0 AND {s2}*{s3} > 0 AND {s3}*{s4} < 0
+"""
+
+
 _SHINGLES_CTE = (
     "shingles AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS sh "
     "FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(1, length(text) - 7))) AS i "
@@ -2576,6 +2666,7 @@ def oracle_sql() -> dict[str, str]:
         "crossing_edges_join": _crossing_edges_sql(),
         "crossing_unified_index": _crossing_edges_sql(),
         "crossing_pairs_self": _crossing_pairs_self_sql(),
+        "crossing_pairs_tables": _crossing_pairs_tables_sql(),
         "polygon_overlay": demo.overlay_sql("intersection"),
         "polygon_overlay_union": demo.overlay_sql("union"),
         "polygon_overlay_diff": demo.overlay_sql("difference"),

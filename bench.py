@@ -83,6 +83,8 @@ EXTRA = [
     "knn_cell_targets",
     "knn_table_join",
     "edge_face_span",
+    "crossing_pairs_self",
+    "crossing_pairs_tables",
 ]
 
 

@@ -231,3 +231,146 @@ def crossing_pairs_self(
         )
         .select("id_a", "id_b")
     )
+
+
+def _reg_with_level(registered: DataFrame, id_col: str) -> DataFrame:
+    lvl = F.lit(30) - (
+        F.log2(F.col("ecell").bitwiseAND(-F.col("ecell")).cast("double"))
+        / F.lit(2.0)
+    ).cast("int")
+    return registered.select(id_col, "ecell").withColumn("_lvl", lvl)
+
+
+def _distinct_levels(reg: DataFrame) -> list[int]:
+    return sorted(int(r["_lvl"]) for r in reg.select("_lvl").distinct().collect())
+
+
+def _ancestor_keys(reg: DataFrame, id_col: str, out_id: str, levels: list[int]) -> DataFrame:
+    """(out_id, _key): each registered cell exploded to its ancestor at every
+    level in ``levels`` that is <= the cell's own level (incl. itself)."""
+    from ..functions import kernels
+
+    anc = F.array(
+        *[
+            F.when(F.col("_lvl") >= l, kernels.parent_signed(F.col("ecell"), l))
+            for l in levels
+        ]
+    )
+    return (
+        reg.select(F.col(id_col).alias(out_id), F.explode(anc).alias("_key"))
+        .filter(F.col("_key").isNotNull())
+    )
+
+
+def _xyz_geom(edges_df: DataFrame, id_col: str) -> DataFrame:
+    from ..functions import edgedist
+
+    return edges_df.selectExpr(
+        id_col,
+        *edgedist.xyz_exprs("alat", "alng", "a"),
+        *edgedist.xyz_exprs("blat", "blng", "b"),
+    )
+
+
+def crossing_pairs_join(
+    a_edges: DataFrame,
+    b_edges: DataFrame,
+    a_id_col: str = "edge_id",
+    b_id_col: str = "edge_id",
+    a_registered: DataFrame | None = None,
+    b_registered: DataFrame | None = None,
+    prune_b_by_a: bool = False,
+) -> DataFrame:
+    """TABLE-to-TABLE crossing join — S2CrossingEdgeQuery with the query
+    side itself an indexed edge collection (s2crossing_edge_query.d:78-160
+    probed per edge of another index, the ShapeIndexTarget shape): every
+    (a, b) pair with a PROPER crossing, as (id_a, id_b) — id_a from
+    ``a_edges``, id_b from ``b_edges``, each pair once.
+
+    Same nested-cell completeness argument as crossing_pairs_self, but the
+    ancestor relation must be probed in BOTH directions explicitly (the
+    self join gets the swap for free): A-own-cell vs B-ancestors at A's
+    level set, UNION A-ancestors at B's level set vs B-own-cell; dedup;
+    ONE exact pair kernel on candidates.
+
+    ``prune_b_by_a=True`` is the streaming/new-vs-accumulated mode: before
+    exploding B's ancestors, B is semi-joined against the (broadcast-sized)
+    set of A's min-level ancestor cells plus THEIR coarser ancestors — the
+    index side is scanned but never shuffled, and at 100 TB the semi-join
+    key is exactly the partition-pruning key of a cell-bucketed artifact
+    (only index partitions overlapping the batch's cell ranges are read).
+    Use when A is small relative to B (a micro-batch vs the accumulated
+    index); leave False for two comparable tables."""
+    from ..functions import kernels
+    from .knn import register_edges
+
+    a_reg = _reg_with_level(
+        a_registered if a_registered is not None else register_edges(a_edges),
+        a_id_col,
+    )
+    b_reg_full = _reg_with_level(
+        b_registered if b_registered is not None else register_edges(b_edges),
+        b_id_col,
+    )
+    a_levels = _distinct_levels(a_reg)
+    if not a_levels:
+        return (
+            a_edges.select(F.col(a_id_col).alias("id_a"))
+            .join(b_edges.select(F.col(b_id_col).alias("id_b")), F.lit(False))
+        )
+
+    b_reg = b_reg_full
+    if prune_b_by_a:
+        l0 = min(a_levels)
+        s_keys = a_reg.select(
+            kernels.parent_signed(F.col("ecell"), l0).alias("_pk")
+        ).distinct()
+        # coarser-than-l0 index cells are ancestors OF the batch cells:
+        # enumerate S's ancestors at every coarse level the index holds
+        b_levels_all = _distinct_levels(b_reg_full)
+        coarse = [l for l in b_levels_all if l < l0]
+        s_plus = s_keys
+        for l in coarse:
+            s_plus = s_plus.unionByName(
+                s_keys.select(kernels.parent_signed(F.col("_pk"), l).alias("_pk"))
+            )
+        s_plus = s_plus.distinct()
+        prune_key = F.when(
+            F.col("_lvl") >= l0, kernels.parent_signed(F.col("ecell"), l0)
+        ).otherwise(F.col("ecell"))
+        b_reg = (
+            b_reg_full.withColumn("_pk", prune_key)
+            .join(F.broadcast(s_plus), "_pk", "left_semi")
+            .drop("_pk")
+        )
+
+    b_levels = _distinct_levels(b_reg)
+
+    dir1 = a_reg.select(
+        F.col("ecell").alias("_key"), F.col(a_id_col).alias("id_a")
+    ).join(_ancestor_keys(b_reg, b_id_col, "id_b", a_levels), "_key")
+    cand = dir1.select("id_a", "id_b")
+    if b_levels:
+        dir2 = _ancestor_keys(a_reg, a_id_col, "id_a", b_levels).join(
+            b_reg.select(
+                F.col("ecell").alias("_key"), F.col(b_id_col).alias("id_b")
+            ),
+            "_key",
+        )
+        cand = cand.unionByName(dir2.select("id_a", "id_b"))
+    cand = cand.distinct()
+
+    ga = _xyz_geom(a_edges, a_id_col).toDF("id_a", "ax", "ay", "az", "bx", "by", "bz")
+    gb = _xyz_geom(b_edges, b_id_col).toDF("id_b", "cx", "cy", "cz", "dx", "dy", "dz")
+    crosses = _pair_crossing_udf()
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(
+            crosses(
+                "ax", "ay", "az", "bx", "by", "bz",
+                "cx", "cy", "cz", "dx", "dy", "dz",
+            )
+        )
+        .select("id_a", "id_b")
+    )

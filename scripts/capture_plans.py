@@ -73,6 +73,13 @@ SECTIONS = [
         "truncation, so the returned plan reads checkpointed round outputs, "
         "not a re-executable probe cascade",
     ),
+    (
+        "crossing_pairs_self",
+        "round-5: single-TABLE crossing sweep (visit_crossing_edge_pairs) — "
+        "candidates from ONE cell/ancestor equi-join over the registered "
+        "index, unordered distinct, ONE exact pair kernel; no cartesian "
+        "or nested-loop pair join anywhere",
+    ),
 ]
 
 

@@ -174,3 +174,73 @@ def test_crossing_pairs_self_chain_reports_no_adjacent(spark):
         (r.id_a, r.id_b) for r in crossing_pairs_self(edges).collect()
     }
     assert got == {(0, 10)}
+
+
+def test_crossing_pairs_join_matches_bruteforce(spark):
+    """TABLE-to-TABLE crossing join vs the scalar all-pairs oracle, with
+    mixed edge lengths on both sides and with/without the streaming-mode
+    index prune (prune_b_by_a) — the prune must not change the answer."""
+    from s2geometry_d_spark.operators.crossing import crossing_pairs_join
+
+    ta = _random_edges(80, seed=21, spread=5.0) + [
+        (900 + i, la, ln, lb, lnb)
+        for i, la, ln, lb, lnb in _random_edges(8, seed=22, spread=40.0)
+    ]
+    tb = _random_edges(90, seed=23, spread=5.0) + [
+        (900 + i, la, ln, lb, lnb)
+        for i, la, ln, lb, lnb in _random_edges(8, seed=24, spread=40.0)
+    ]
+    a = spark.createDataFrame(ta, ["edge_id", "alat", "alng", "blat", "blng"])
+    b = spark.createDataFrame(tb, ["edge_id", "alat", "alng", "blat", "blng"])
+
+    want = set()
+    for ida, ala, aln, bla, bln in ta:
+        A, B = latlng_point(ala, aln), latlng_point(bla, bln)
+        for idb, cla, cln, dla, dln in tb:
+            C, D = latlng_point(cla, cln), latlng_point(dla, dln)
+            if pred.crossing_sign(A, B, C, D) > 0:
+                want.add((ida, idb))
+    assert want, "fixture produced no cross-table crossings"
+
+    for prune in (False, True):
+        got = {
+            (r.id_a, r.id_b)
+            for r in crossing_pairs_join(a, b, prune_b_by_a=prune).collect()
+        }
+        assert got == want, f"prune_b_by_a={prune}"
+
+
+def test_crossing_pairs_join_small_batch_vs_big_index(spark):
+    """Streaming shape: a tiny 'batch' side against a big 'index' side with
+    the prune on — answers must equal the self-sweep restricted to
+    cross-table pairs."""
+    from s2geometry_d_spark.operators.crossing import (
+        crossing_pairs_join,
+        crossing_pairs_self,
+    )
+
+    allt = _random_edges(200, seed=31, spread=6.0)
+    batch_t = [r for r in allt if r[0] % 40 == 0]
+    index_t = [r for r in allt if r[0] % 40 != 0]
+    batch = spark.createDataFrame(
+        batch_t, ["edge_id", "alat", "alng", "blat", "blng"]
+    )
+    index = spark.createDataFrame(
+        index_t, ["edge_id", "alat", "alng", "blat", "blng"]
+    )
+    every = spark.createDataFrame(
+        allt, ["edge_id", "alat", "alng", "blat", "blng"]
+    )
+    batch_ids = {r[0] for r in batch_t}
+    want = {
+        (p, q) if p in batch_ids else (q, p)
+        for p, q in (
+            (r.id_a, r.id_b) for r in crossing_pairs_self(every).collect()
+        )
+        if (p in batch_ids) != (q in batch_ids)
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in crossing_pairs_join(batch, index, prune_b_by_a=True).collect()
+    }
+    assert got == want

@@ -232,3 +232,61 @@ class TestStreamingIndexMaintenance:
             .collect()
         }
         assert got_pip == want_pip
+
+
+class TestCrossingStream:
+    def test_crossing_stream_equals_batch_sweep(self, spark, tmp_path):
+        """Three micro-batches of edges through crossing_pairs_stream must
+        emit exactly the pairs the one-shot self sweep finds on the full
+        table — each unordered pair once (within-batch pairs by the batch's
+        own sweep, cross-batch pairs when the later edge arrives)."""
+        import glob
+        import shutil
+
+        import numpy as np
+
+        from s2geometry_d_spark.operators.crossing import crossing_pairs_self
+        from s2geometry_d_spark.streaming.crossing_stream import (
+            EDGE_STREAM_SCHEMA,
+            crossing_pairs_stream,
+            read_crossing_pairs,
+        )
+
+        rng = np.random.default_rng(77)
+        rows = []
+        for i in range(240):
+            la, ln, lb, lnb = rng.uniform(-6.0, 6.0, 4)
+            rows.append(
+                (i, float(20 + la), float(30 + ln), float(20 + lb), float(30 + lnb))
+            )
+
+        src = tmp_path / "edges_src"
+        src.mkdir()
+        for i in range(3):
+            chunk = rows[i * 80 : (i + 1) * 80]
+            tmp = tmp_path / f"chunk{i}"
+            spark.createDataFrame(chunk, EDGE_STREAM_SCHEMA).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(tmp))
+            f = glob.glob(str(tmp / "part-*.parquet"))[0]
+            shutil.copy(f, str(src / f"b{i}.parquet"))
+
+        out = tmp_path / "out"
+        q = crossing_pairs_stream(
+            spark,
+            str(src),
+            str(out),
+            str(tmp_path / "ckpt_cross"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(240)
+
+        got = {
+            (r.id_a, r.id_b) for r in read_crossing_pairs(spark, str(out)).collect()
+        }
+        every = spark.createDataFrame(rows, EDGE_STREAM_SCHEMA)
+        want = {(r.id_a, r.id_b) for r in crossing_pairs_self(every).collect()}
+        assert want, "fixture produced no crossings"
+        assert got == want
+        # the accumulated artifact holds every edge exactly once
+        assert spark.read.parquet(str(out / "edges")).count() == len(rows)
