@@ -111,9 +111,16 @@ def crossing_edges_join(
     )
 
 
-def _pair_crossing_udf():
-    """(ax..az, bx..bz, cx..cz, dx..dz) -> proper-crossing boolean over edge
-    PAIRS, vectorized (triage + exact fallback — predicates.crossing_sign_pairs)."""
+def _pair_crossing_udf(crossing_type: str = "interior"):
+    """(ax..az, bx..bz, cx..cz, dx..dz) -> crossing boolean over edge PAIRS,
+    vectorized (triage + exact fallback — predicates.crossing_sign_pairs).
+    ``crossing_type``: "interior" keeps proper crossings only (crossingSign
+    > 0); "all" additionally applies vertexCrossing to shared-vertex pairs
+    (the reference's CrossingType::ALL, shapeutil/visit_crossing_edge_pairs.d
+    + s2edge_crossings.d:105-151) — crossingSign is 0 ONLY there, so the
+    scalar parity rule runs on exactly that tiny slice."""
+    if crossing_type not in ("interior", "all"):
+        raise ValueError(crossing_type)
 
     @F.pandas_udf(T.BooleanType())
     def crosses(
@@ -128,7 +135,14 @@ def _pair_crossing_udf():
         B = np.column_stack([bx, by, bz])
         C = np.column_stack([cx, cy, cz])
         D = np.column_stack([dx, dy, dz])
-        return pd.Series(pred.crossing_sign_pairs(A, B, C, D) > 0)
+        sign = pred.crossing_sign_pairs(A, B, C, D)
+        out = sign > 0
+        if crossing_type == "all":
+            for i in np.nonzero(sign == 0)[0]:
+                out[i] = pred.vertex_crossing(
+                    tuple(A[i]), tuple(B[i]), tuple(C[i]), tuple(D[i])
+                )
+        return pd.Series(out)
 
     return crosses
 
@@ -137,12 +151,16 @@ def crossing_pairs_self(
     edges_df: DataFrame,
     edge_id_col: str = "edge_id",
     registered_df: DataFrame | None = None,
+    crossing_type: str = "interior",
 ) -> DataFrame:
     """All PROPERLY-crossing edge pairs WITHIN one table — the reference's
     single-index crossing sweep (shapeutil/visit_crossing_edge_pairs.d:
     visitCrossingEdgePairs over a ShapeIndex visits each candidate pair in
     the smallest index cell both edges occupy).  Returns (id_a, id_b) with
-    id_a < id_b, one row per unordered pair with crossingSign > 0.
+    id_a < id_b, one row per unordered pair with crossingSign > 0 —
+    or, with ``crossing_type="all"``, per pair with edgeOrVertexCrossing
+    (the reference's CrossingType option: shared-vertex pairs kept iff the
+    vertexCrossing parity rule holds).
 
     Distributed shape (never all-pairs):
 
@@ -219,7 +237,7 @@ def crossing_pairs_self(
     )
     ga = geom.toDF("id_a", "ax", "ay", "az", "bx", "by", "bz")
     gb = geom.toDF("id_b", "cx", "cy", "cz", "dx", "dy", "dz")
-    crosses = _pair_crossing_udf()
+    crosses = _pair_crossing_udf(crossing_type)
     return (
         cand.join(ga, "id_a")
         .join(gb, "id_b")
@@ -280,6 +298,7 @@ def crossing_pairs_join(
     a_registered: DataFrame | None = None,
     b_registered: DataFrame | None = None,
     prune_b_by_a: bool = False,
+    crossing_type: str = "interior",
 ) -> DataFrame:
     """TABLE-to-TABLE crossing join — S2CrossingEdgeQuery with the query
     side itself an indexed edge collection (s2crossing_edge_query.d:78-160
@@ -362,7 +381,7 @@ def crossing_pairs_join(
 
     ga = _xyz_geom(a_edges, a_id_col).toDF("id_a", "ax", "ay", "az", "bx", "by", "bz")
     gb = _xyz_geom(b_edges, b_id_col).toDF("id_b", "cx", "cy", "cz", "dx", "dy", "dz")
-    crosses = _pair_crossing_udf()
+    crosses = _pair_crossing_udf(crossing_type)
     return (
         cand.join(ga, "id_a")
         .join(gb, "id_b")

@@ -244,3 +244,49 @@ def test_crossing_pairs_join_small_batch_vs_big_index(spark):
         for r in crossing_pairs_join(batch, index, prune_b_by_a=True).collect()
     }
     assert got == want
+
+
+def test_crossing_pairs_self_type_all_matches_edge_or_vertex(spark):
+    """CrossingType::ALL parity: shared-vertex pairs are kept iff
+    vertexCrossing says the edges cross AT the vertex (the reference's
+    parity rule) — brute-checked with edge_or_vertex_crossing over a
+    fixture rich in shared vertices (chains + fans + proper crossings)."""
+    from s2geometry_d_spark.operators.crossing import crossing_pairs_self
+
+    # a star fan around V, a chain through V, plus random edges
+    V = (15.0, 40.0)
+    table = []
+    spokes = [(0.0, 3.0), (2.0, 1.0), (3.0, -2.0), (-1.0, -3.0), (-3.0, 0.5)]
+    for i, (dla, dln) in enumerate(spokes):
+        table.append((i, V[0], V[1], V[0] + dla, V[1] + dln))
+    # edges THROUGH the area, some passing exactly through V's neighborhood
+    table += [
+        (100 + i, la, ln, lb, lnb)
+        for i, la, ln, lb, lnb in _random_edges(60, seed=41, spread=4.0, lat0=15.0, lng0=40.0)
+    ]
+    edges = spark.createDataFrame(
+        table, ["edge_id", "alat", "alng", "blat", "blng"]
+    )
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in crossing_pairs_self(edges, crossing_type="all").collect()
+    }
+    want = set()
+    for i, (ida, ala, aln, bla, bln) in enumerate(table):
+        a, b = latlng_point(ala, aln), latlng_point(bla, bln)
+        for idb, cla, cln, dla, dln in table[i + 1 :]:
+            c, d = latlng_point(cla, cln), latlng_point(dla, dln)
+            if pred.edge_or_vertex_crossing(a, b, c, d):
+                want.add((min(ida, idb), max(ida, idb)))
+    assert want, "fixture produced no crossings"
+    assert got == want
+    # the fan shares vertex V pairwise: at least one spoke pair must be a
+    # vertex crossing (kept by ALL) and at least one must not be
+    interior = {
+        (r.id_a, r.id_b) for r in crossing_pairs_self(edges).collect()
+    }
+    vertex_only = got - interior
+    assert any(p < 5 and q < 5 for p, q in vertex_only), (
+        "expected a spoke pair kept only under CrossingType::ALL"
+    )
