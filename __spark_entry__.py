@@ -1281,6 +1281,52 @@ def _q_tile_pixel_stats(spark, sf_dir):
     )
 
 
+def _q_image_resize_stats(spark, sf_dir):
+    """Dataset-prep RESIZE over the binary image column: 2x area-average
+    downsample with integer floor semantics, then per-image channel means
+    + a positional checksum of the RESIZED payload — the checksum pins
+    every output pixel's value AND position, and the stats kernel decodes
+    the resized bytes through the normal codec path, closing the artifact
+    round-trip.  Oracle re-derives the downsampled pixels from the integer-
+    hash codec in SQL (block sum // 4)."""
+    from s2geometry_d_spark.operators.multimodal import (
+        image_checksum_stats,
+        resize_images,
+    )
+
+    out = image_checksum_stats(resize_images(synth_images(spark, sf_dir), 2))
+    return out.select(
+        "image_id",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "checksum",
+    )
+
+
+def _q_video_frame_sample(spark, sf_dir):
+    """VIDEO modality: sample every 3rd frame of each synthetic video as an
+    image row (opaque binary container -> per-frame lossless re-encode),
+    then per-frame channel means + positional checksum through the normal
+    image codec path.  Oracle re-derives every sampled frame's pixels from
+    the closed-form frame seed (video_frame_seed) in SQL."""
+    from s2geometry_d_spark.operators.multimodal import (
+        frame_sample,
+        image_checksum_stats,
+    )
+    from s2geometry_d_spark.sources.images import synth_videos
+
+    frames = frame_sample(synth_videos(spark, sf_dir), every=3)
+    out = image_checksum_stats(frames)
+    return out.select(
+        "image_id",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "checksum",
+    )
+
+
 def _q_image_features(spark, sf_dir):
     from s2geometry_d_spark.operators.multimodal import image_features
 
@@ -1433,6 +1479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_verify": _q_image_verify,
         "image_features": _q_image_features,
         "tile_pixel_stats": _q_tile_pixel_stats,
+        "image_resize_stats": _q_image_resize_stats,
+        "video_frame_sample": _q_video_frame_sample,
         "image_dedup": _q_image_dedup,
         "phash_neardup": _q_phash_neardup,
         "ann_cosine_lsh": _q_ann_lsh,
@@ -2422,6 +2470,87 @@ FROM px GROUP BY image_id, tile_x, tile_y
 """
 
 
+def _image_resize_stats_sql() -> str:
+    """The 2x floor-mean downsample re-derived in SQL: base pixels from the
+    integer-hash codec (jpeg rows 6-bit quantized first, exactly as the
+    payload stores them), grouped into 2x2 blocks with sum // 4, then the
+    same means + positional checksum the engine computes on the RESIZED
+    payload."""
+    m32 = 4294967296
+    pix = (
+        f"CAST(((CAST((doc_id * 2654435761 + y * 7919 + x * 104729 + c * 1299709) % {m32} AS HUGEINT)"
+        f" * 2246822519) % {m32}) AS BIGINT) // 65536 % 256"
+    )
+    return f"""
+WITH imgs AS (
+  SELECT doc_id, 'img' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS image_id
+  FROM documents
+),
+coords AS (
+  SELECT yy.y, xx.x, cc.c
+  FROM (SELECT unnest(generate_series(0, 63)) AS y) yy
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS x) xx
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) cc
+),
+px AS (
+  SELECT image_id, y // 2 AS y2, x // 2 AS x2, c,
+         CASE WHEN doc_id % 2 = 1 THEN ({pix}) // 4 * 4 ELSE {pix} END AS p
+  FROM imgs CROSS JOIN coords
+),
+small AS (
+  SELECT image_id, y2, x2, c, CAST(sum(p) // 4 AS BIGINT) AS p2
+  FROM px GROUP BY image_id, y2, x2, c
+)
+SELECT image_id,
+       round(sum(CASE WHEN c = 0 THEN p2 END) / 1024e0, 6) AS mean_r,
+       round(sum(CASE WHEN c = 1 THEN p2 END) / 1024e0, 6) AS mean_g,
+       round(sum(CASE WHEN c = 2 THEN p2 END) / 1024e0, 6) AS mean_b,
+       CAST(sum(p2 * (1 + (y2*31 + x2*17 + c*7) % 97)) AS BIGINT) AS checksum
+FROM small GROUP BY image_id
+"""
+
+
+def _video_frame_sample_sql() -> str:
+    """Sampled-frame stats re-derived from the closed-form frame seed:
+    s = doc_id*131 + 9973*t for t in 0..n_frames-1 step 3 (n_frames =
+    6 + doc_id % 7), pixels from the same integer-hash codec, means +
+    positional checksum per frame."""
+    m32 = 4294967296
+    pix = (
+        f"CAST(((CAST((s * 2654435761 + y * 7919 + x * 104729 + c * 1299709) % {m32} AS HUGEINT)"
+        f" * 2246822519) % {m32}) AS BIGINT) // 65536 % 256"
+    )
+    return f"""
+WITH vids AS (
+  SELECT doc_id, 6 + doc_id % 7 AS n_frames FROM documents
+),
+frames AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 3)) AS t
+  FROM vids
+),
+seeds AS (
+  SELECT doc_id, t, doc_id * 131 + 9973 * t AS s FROM frames
+),
+coords AS (
+  SELECT yy.y, xx.x, cc.c
+  FROM (SELECT unnest(generate_series(0, 63)) AS y) yy
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS x) xx
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) cc
+),
+px AS (
+  SELECT doc_id, t, y, x, c, {pix} AS p
+  FROM seeds CROSS JOIN coords
+)
+SELECT 'vid' || lpad(CAST(doc_id AS VARCHAR), 12, '0') || '#' || CAST(t AS VARCHAR) AS image_id,
+       round(sum(CASE WHEN c = 0 THEN p END) / 4096e0, 6) AS mean_r,
+       round(sum(CASE WHEN c = 1 THEN p END) / 4096e0, 6) AS mean_g,
+       round(sum(CASE WHEN c = 2 THEN p END) / 4096e0, 6) AS mean_b,
+       CAST(sum(p * (1 + (y*31 + x*17 + c*7) % 97)) AS BIGINT) AS checksum
+FROM px GROUP BY doc_id, t
+"""
+
+
 def _covering_containment_sql() -> str:
     """The covering-completeness invariant per region: every probe-lattice
     point the region's predicate selects is covered (n_missed = 0), with
@@ -2624,6 +2753,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_cap_join": _pip_cap_sql(),
         "tile_containment_check": _tile_containment_sql(),
         "tile_pixel_stats": _tile_pixels_sql(),
+        "image_resize_stats": _image_resize_stats_sql(),
+        "video_frame_sample": _video_frame_sample_sql(),
         "image_features": _image_features_sql(),
         "image_verify": _image_verify_sql(),
         "image_dedup": _image_dedup_sql(),

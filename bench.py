@@ -85,6 +85,8 @@ EXTRA = [
     "edge_face_span",
     "crossing_pairs_self",
     "crossing_pairs_tables",
+    "image_resize_stats",
+    "video_frame_sample",
 ]
 
 

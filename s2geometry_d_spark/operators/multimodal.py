@@ -241,3 +241,163 @@ def image_features(images: DataFrame) -> DataFrame:
             )
 
     return images.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+
+def resize_images(images: DataFrame, factor: int = 2) -> DataFrame:
+    """Area-average downsample by an integer ``factor`` — the dataset-prep
+    resize stage over opaque binary image columns: decode, mean each
+    factor x factor block with INTEGER floor semantics (sum // f^2, so a
+    SQL oracle reproduces the payload bit-exactly), re-encode lossless at
+    (w/f, h/f).  Whole-batch numpy: one (n, oh, f, ow, f, 3) reshape+sum;
+    per-row python is only the codec boundary.  Map-only at any scale (no
+    shuffle: one mapInPandas over the image table)."""
+    f = int(factor)
+    if f < 1 or H % f or W % f:
+        raise ValueError(f"factor {factor} must divide {H}x{W}")
+    from ..sources.images import fake_encode
+
+    cols = [s.name for s in RESIZED_SCHEMA.fields]
+    oh, ow = H // f, W // f
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            dec = _decode_batch(pdf).astype(np.uint32)
+            n = dec.shape[0]
+            small = (
+                dec.reshape(n, oh, f, ow, f, 3).sum(axis=(2, 4)) // (f * f)
+            ).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "bytes": [fake_encode(small[i], "png") for i in range(n)],
+                    "w": np.full(n, ow, dtype=np.int32),
+                    "h": np.full(n, oh, dtype=np.int32),
+                    "fmt": ["png"] * n,
+                }
+            )
+
+    return images.mapInPandas(run, RESIZED_SCHEMA)
+
+
+CHECKSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+        T.StructField("checksum", T.LongType(), False),
+    ]
+)
+
+
+def image_checksum_stats(images: DataFrame) -> DataFrame:
+    """Per-image channel means + a POSITIONAL integer checksum
+    sum(p * (1 + (y*31 + x*17 + c*7) % 97)) over the row's OWN (w, h) —
+    decodes variable-dimension payloads (e.g. the post-resize shape), so
+    it also closes the round-trip: a resized artifact is itself readable
+    by every downstream consumer.  The checksum pins pixel POSITIONS
+    (means alone would accept any permutation)."""
+
+    cols = [s.name for s in CHECKSUM_SCHEMA.fields]
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            out = []
+            for image_id, data, fmt, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                arr = _decode(bytes(data), str(fmt), int(w), int(h)).astype(
+                    np.int64
+                )
+                hh, ww = arr.shape[0], arr.shape[1]
+                ys = np.arange(hh, dtype=np.int64)[:, None, None]
+                xs = np.arange(ww, dtype=np.int64)[None, :, None]
+                cs = np.arange(3, dtype=np.int64)[None, None, :]
+                wgt = 1 + (ys * 31 + xs * 17 + cs * 7) % 97
+                # exact int64 sums, ONE correctly-rounded division — the
+                # same value SQL's sum()/count computes (numpy .mean()'s
+                # pairwise float accumulation would not be)
+                means = arr.reshape(-1, 3).sum(axis=0) / float(hh * ww)
+                out.append(
+                    (
+                        image_id,
+                        means[0],
+                        means[1],
+                        means[2],
+                        int((arr * wgt).sum()),
+                    )
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return images.mapInPandas(run, CHECKSUM_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+
+def frame_sample(videos: DataFrame, every: int = 3) -> DataFrame:
+    """Sample every ``every``-th frame of each video as an IMAGE row —
+    the multimodal pipeline's frame-extraction stage over opaque binary
+    video columns.  Emitted frames are re-encoded lossless, so every
+    image operator (features, tile stats, checksum, dedup) consumes them
+    unchanged.  Map-only at any scale: one mapInPandas over the video
+    table; row growth is n_frames/every per video."""
+    from ..sources.images import fake_encode, fake_video_decode
+
+    k = int(every)
+    if k < 1:
+        raise ValueError(every)
+    cols = [s.name for s in FRAME_SCHEMA.fields]
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            out = []
+            for vid, data, n_frames in zip(
+                pdf["video_id"], pdf["bytes"], pdf["n_frames"]
+            ):
+                frames = fake_video_decode(bytes(data), int(n_frames))
+                for t in range(0, int(n_frames), k):
+                    out.append(
+                        (
+                            vid,
+                            t,
+                            f"{vid}#{t}",
+                            fake_encode(frames[t], "png"),
+                            W,
+                            H,
+                            "png",
+                        )
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return videos.mapInPandas(run, FRAME_SCHEMA)

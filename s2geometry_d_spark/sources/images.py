@@ -132,3 +132,69 @@ def synth_images_cached(spark: SparkSession, sf_dir: str, cache_root: str | None
     if not os.path.exists(marker):
         synth_images(spark, sf_dir).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fps", T.DoubleType(), False),
+    ]
+)
+
+
+def video_frame_seed(doc_id: int, t: int) -> int:
+    """Seed of frame ``t`` of video ``doc_id`` — closed form so a SQL
+    oracle re-derives any frame's pixels without the codec."""
+    return doc_id * 131 + 9973 * t
+
+
+def fake_video_encode(frames: np.ndarray) -> bytes:
+    """Stub video container: 8-byte header + raw concatenated frames
+    ((n, H, W, 3) uint8).  NOT a real codec — same contract as fake_encode;
+    swapping in pyav/ffmpeg later only changes this pair of functions."""
+    return b"FAKVraw\1" + frames.tobytes()
+
+
+def fake_video_decode(data: bytes, n_frames: int) -> np.ndarray:
+    if data[:4] != b"FAKV":
+        raise NotImplementedError("real video codec path (pyav) not available")
+    return np.frombuffer(data, dtype=np.uint8, offset=8).reshape(
+        n_frames, H, W, 3
+    )
+
+
+def synth_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video table derived 1:1 from ``documents``: 6..12 deterministic
+    frames per row (frame t = fake_pixels(video_frame_seed(doc_id, t)))."""
+    n_parts = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(n_parts)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n_frames = 6 + i % 7
+                seeds = np.array(
+                    [video_frame_seed(i, t) for t in range(n_frames)]
+                )
+                frames = fake_pixels_batch(seeds)
+                rows.append(
+                    (
+                        f"vid{i:012d}",
+                        fake_video_encode(frames),
+                        n_frames,
+                        W,
+                        H,
+                        24.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_SCHEMA.fields]
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, VIDEO_SCHEMA)
