@@ -1496,6 +1496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "dedup_minhash_lsh": lambda s, d: dedup.dedup_minhash_lsh(_docs(s, d)),
+        "dedup_clusters": lambda s, d: dedup.dedup_clusters(
+            dedup.dedup_minhash_lsh(_docs(s, d))
+        ),
         "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "simhash16": lambda s, d: dedup.simhash16(_docs(s, d)),
         "lang_id": lambda s, d: text.lang_id(_docs(s, d)),
@@ -2191,6 +2194,32 @@ def _minhash_sql() -> str:
     return f"WITH {_minhash_ctes()} SELECT doc_a, doc_b FROM cand"
 
 
+def _dedup_clusters_sql() -> str:
+    """Connected components of the SAME candidate-pair graph, re-derived
+    independently: a recursive min-label walk (every node's cluster_id is
+    the smallest doc id it can reach) — DuckDB's UNION-dedup recursion
+    terminates because the reachable-label sets are finite."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+nodes AS (
+  SELECT DISTINCT doc FROM (
+    SELECT doc_a AS doc FROM cand UNION ALL SELECT doc_b FROM cand
+  )
+),
+ed AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+),
+walk(doc, lbl) AS (
+  SELECT doc, doc AS lbl FROM nodes
+  UNION
+  SELECT ed.u, w.lbl FROM walk w JOIN ed ON ed.v = w.doc
+)
+SELECT doc AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc
+"""
+
+
 def _jaccard_sql() -> str:
     return f"""
 WITH {_minhash_ctes()},
@@ -2818,6 +2847,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM corpus GROUP BY md5(text) HAVING count(*) > 1"
         ),
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "ngram_jaccard": _jaccard_sql(),
         "simhash16": _simhash_sql(),
         "lang_id": _langid_sql(),

@@ -87,6 +87,7 @@ EXTRA = [
     "crossing_pairs_tables",
     "image_resize_stats",
     "video_frame_sample",
+    "dedup_clusters",
 ]
 
 

@@ -269,3 +269,82 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .filter(F.col("jac") >= threshold)
         .select("doc_a", "doc_b", "jac")
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over the near-dup
+    pair graph — (doc_id, cluster_id) with cluster_id = the component's
+    minimum doc id.  This is the step AFTER pair generation in a dedup
+    pipeline: keep one representative per cluster instead of reasoning
+    about pairs.
+
+    Min-label propagation: per round, every node takes min(own label,
+    neighbors' labels); each round is one equi-join + one groupBy (both
+    shuffled on node id, so AQE reuses the partitioning), localCheckpointed
+    so round t+1's plan never nests round t's.  Convergence needs rounds ~
+    component diameter — LSH dup clusters are near-cliques (diameter 1-3),
+    so the driver's changed-count check exits almost immediately; for
+    adversarially long chains swap in large-star/small-star alternation
+    (O(log n) rounds, same join shapes).  Never materializes a component
+    in one task — scales to any cluster size."""
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("doc_id"), F.col("u").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        stepped = labels.join(
+            nbr_min, labels["doc_id"] == nbr_min["u"], "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # pointer jumping (path compression): lbl <- min(lbl, label OF lbl)
+        # — without it convergence needs component-DIAMETER rounds (shingle
+        # chains make long paths); with it, O(log diameter)
+        ptr = stepped.select(
+            F.col("doc_id").alias("_d2"), F.col("lbl").alias("_l2")
+        )
+        new_labels = (
+            stepped.join(ptr, stepped["lbl"] == ptr["_d2"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("_l2"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: not converged after {max_rounds} rounds "
+            f"({changed} labels still changing) — raise max_rounds"
+        )
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))

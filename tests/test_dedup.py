@@ -155,3 +155,36 @@ def test_phash_bucket_cap_and_pure_jvm_plan(spark):
     # no Python anywhere in the plan: native shift/mask/bit_count end-to-end
     plan = full._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Connected components over an adversarial pair graph (long chains —
+    the case plain min-label propagation without pointer jumping needs
+    diameter rounds for) vs a driver union-find."""
+    import numpy as np
+
+    from s2geometry_d_spark.operators.dedup import dedup_clusters
+
+    rng = np.random.default_rng(5)
+    pairs = [(i, i + 1) for i in range(80)]            # one 81-node chain
+    pairs += [(100 + 2 * i, 101 + 2 * i) for i in range(20)]  # 20 doubletons
+    extra = rng.integers(200, 260, size=(40, 2))       # random clumps
+    pairs += [(int(min(a, b)), int(max(a, b))) for a, b in extra if a != b]
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in parent}
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(df).collect()}
+    assert got == want
