@@ -290,3 +290,68 @@ class TestCrossingStream:
         assert got == want
         # the accumulated artifact holds every edge exactly once
         assert spark.read.parquet(str(out / "edges")).count() == len(rows)
+
+
+class TestDedupStream:
+    def test_dedup_stream_equals_batch_pairs(self, spark, tmp_path):
+        """Three micro-batches of documents through dedup_pairs_stream must
+        emit exactly the candidate pairs the one-shot batch operator finds
+        on the full corpus (no bucket exceeds the cap here, so the two cap
+        policies coincide) — cross-batch duplicates land in the batch where
+        the LATER document arrived, each pair exactly once."""
+        import glob
+        import shutil
+
+        from s2geometry_d_spark.operators import dedup
+        from s2geometry_d_spark.streaming.dedup_stream import (
+            DOC_STREAM_SCHEMA,
+            dedup_pairs_stream,
+            read_dedup_pairs,
+        )
+
+        base = [
+            f"the quick brown fox jumps over the lazy dog variant {i} "
+            f"with some shared boilerplate text that makes shingles collide"
+            for i in range(12)
+        ]
+        rows = []
+        did = 0
+        for rep in range(4):  # 4 near-copies of each base text
+            for i, t in enumerate(base):
+                rows.append((did, t + (f" rev{rep}" if rep else "")))
+                did += 1
+        rows += [(did + i, f"unique document {i} " + "x" * (40 + i)) for i in range(12)]
+
+        src = tmp_path / "docs_src"
+        src.mkdir()
+        per = (len(rows) + 2) // 3
+        for i in range(3):
+            chunk = rows[i * per : (i + 1) * per]
+            tmp = tmp_path / f"dchunk{i}"
+            spark.createDataFrame(chunk, DOC_STREAM_SCHEMA).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(tmp))
+            f = glob.glob(str(tmp / "part-*.parquet"))[0]
+            shutil.copy(f, str(src / f"b{i}.parquet"))
+
+        out = tmp_path / "dedup_out"
+        q = dedup_pairs_stream(
+            spark,
+            str(src),
+            str(out),
+            str(tmp_path / "ckpt_dedup"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(240)
+
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in read_dedup_pairs(spark, str(out)).collect()
+        }
+        every = spark.createDataFrame(rows, DOC_STREAM_SCHEMA)
+        want = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.dedup_minhash_lsh(every).collect()
+        }
+        assert want, "fixture produced no near-dup candidates"
+        assert got == want
