@@ -245,3 +245,13 @@ def test_crossing_pairs_self_single_kernel_no_cartesian(spark, entrymod):
     assert plan.count("crosses(") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_crossing_pairs_tables_single_kernel_no_cartesian(spark, entrymod):
+    """Two-table crossing join: same discipline as the self sweep — one
+    pair-kernel evaluation, candidates only from equi-joins."""
+    df = entrymod.queries()["crossing_pairs_tables"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("crosses(") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
