@@ -1403,6 +1403,47 @@ def _q_dedup_embedding(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(corpus, threshold=0.99)
 
 
+SAMPLE_RATES = {"en": 0.25, "de": 0.5, "fr": 0.75}
+MIXTURE_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 0.0, "src3": 1.75}
+SHARD_TOKEN_BUDGET = 2000
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample (training-data
+    rebalancing stage); md5-hex-threshold draw identical in both engines."""
+    from s2geometry_d_spark.operators import sampling
+
+    return sampling.sample_stratified(_docs(spark, sf_dir), SAMPLE_RATES)
+
+
+def _q_dataset_mixture(spark, sf_dir):
+    """Deterministic per-source mixture weighting (floor(w) copies + one
+    more with prob frac(w)); map-only explode."""
+    from s2geometry_d_spark.operators import sampling
+
+    return sampling.dataset_mixture(_docs(spark, sf_dir), MIXTURE_WEIGHTS)
+
+
+def _q_shard_tokens(spark, sf_dir):
+    """Fixed-token-budget shard assignment via per-source prefix sums."""
+    from s2geometry_d_spark.operators import sampling
+
+    return sampling.shard_by_token_budget(_docs(spark, sf_dir), SHARD_TOKEN_BUDGET)
+
+
+def _q_snap_polylines(spark, sf_dir):
+    """Builder POLYLINE layer over a dirty-polyline table (s2builder.d +
+    builder/util/s2polyline_layer.d default options); oracle re-derives the
+    E4 snap + consecutive-duplicate collapse on the same vertex literals."""
+    from s2geometry_d_spark.operators.overlay import (
+        dirty_polylines_dataframe,
+        snap_polylines_table,
+    )
+
+    df = dirty_polylines_dataframe(spark, demo.snap_fixture_lines())
+    return snap_polylines_table(df, exponent=demo.SNAP_EXPONENT)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- pipeline text/ANN ops FIRST: these four were green in the
@@ -1460,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlay_holes_union": _q_polygon_overlay_holes("union"),
         "polygon_overlay_holes_symdiff": _q_polygon_overlay_holes("symmetric_difference"),
         "snap_polygons": _q_snap_polygons,
+        "snap_polylines": _q_snap_polylines,
         "validate_polygons": _q_validate_polygons,
         "within_distance_join": _q_within_distance,
         "within_distance_polyline": _q_within_polyline,
@@ -1502,6 +1544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "simhash16": lambda s, d: dedup.simhash16(_docs(s, d)),
         "lang_id": lambda s, d: text.lang_id(_docs(s, d)),
+        "sample_stratified": _q_sample_stratified,
+        "dataset_mixture": _q_dataset_mixture,
+        "shard_by_token_budget": _q_shard_tokens,
         # token_count / quality_score / fingerprint / ann_cosine_topk are
         # at the TOP of this dict (driver-sampling visibility, ask #8)
     }
@@ -1510,6 +1555,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
+
+
+def _sample_stratified_sql() -> str:
+    from s2geometry_d_spark.operators.sampling import rate_threshold
+
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN '{rate_threshold(r)}'"
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return (
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8) < "
+        f"(CASE {cases} ELSE 'g' END)"
+    )
+
+
+def _dataset_mixture_sql() -> str:
+    from s2geometry_d_spark.operators.sampling import rate_threshold
+
+    base = " ".join(
+        f"WHEN source = '{s}' THEN {int(w)}"
+        for s, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    frac = " ".join(
+        f"WHEN source = '{s}' THEN '{rate_threshold(w - int(w))}'"
+        for s, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id, source,
+         (CASE {base} ELSE 1 END)
+         + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)
+                      < (CASE {frac} ELSE '{rate_threshold(0.0)}' END)
+                 THEN 1 ELSE 0 END) AS n_copies
+  FROM documents
+),
+x AS (
+  SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS copy
+  FROM m WHERE n_copies > 0
+)
+SELECT doc_id, source, CAST(copy AS BIGINT) AS copy FROM x
+"""
+
+
+def _shard_tokens_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / {SHARD_TOKEN_BUDGET}.0) AS BIGINT) AS shard
+FROM t
+"""
 
 
 def _pip_cap_sql() -> str:
@@ -2862,4 +2964,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_cosine_topk": _ann_sql(),
         "dedup_embedding_cosine": _dedup_embedding_sql(),
+        "sample_stratified": _sample_stratified_sql(),
+        "dataset_mixture": _dataset_mixture_sql(),
+        "shard_by_token_budget": _shard_tokens_sql(),
+        "snap_polylines": demo.snap_polylines_sql(),
     }

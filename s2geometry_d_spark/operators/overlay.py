@@ -314,6 +314,62 @@ def snap_polygons_table(polys_df: DataFrame, exponent: int = 4) -> DataFrame:
     return polys_df.groupBy("poly_id").applyInPandas(run, SNAP_OUT_SCHEMA)
 
 
+LINE_VERTS_SCHEMA = T.StructType(
+    [
+        T.StructField("line_id", T.IntegerType(), False),
+        T.StructField("verts", T.ArrayType(T.ArrayType(T.DoubleType())), False),
+    ]
+)
+
+SNAP_LINE_SCHEMA = T.StructType(
+    [
+        T.StructField("line_id", T.IntegerType(), False),
+        T.StructField("seq", T.IntegerType(), False),
+        T.StructField("vlat", T.DoubleType(), False),
+        T.StructField("vlng", T.DoubleType(), False),
+    ]
+)
+
+
+def dirty_polylines_dataframe(spark: SparkSession, lines) -> DataFrame:
+    """lines: [(line_id, [vertex_xyz, ...])]."""
+    rows = [(lid, [list(v) for v in verts]) for lid, verts in lines]
+    return spark.createDataFrame(rows, LINE_VERTS_SCHEMA)
+
+
+def snap_polylines_table(lines_df: DataFrame, exponent: int = 4) -> DataFrame:
+    """Distributed builder POLYLINE layer (s2builder.d:100-700 +
+    builder/util/s2polyline_layer.d, default options): one applyInPandas
+    group per dirty polyline — near-duplicate vertices merge to shared
+    E{exponent} snap sites, zero-length edges collapse, collapsed lines
+    vanish — emitting (line_id, seq, vlat, vlng) ordered vertices rounded
+    to 6 dp.
+
+    At scale this is map-only over the polyline table (one group per
+    line): the groupBy on line_id is the only shuffle, and when the input
+    arrives one-line-per-row (as here) AQE coalesces it to a local
+    exchange."""
+    import math
+
+    from ..s2core.builder import IntLatLngSnapFunction, build_polyline
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sf = IntLatLngSnapFunction(exponent)
+        out = []
+        for _, row in pdf.iterrows():
+            snapped = build_polyline([tuple(v) for v in row["verts"]], sf)
+            if snapped is None:
+                continue
+            for seq, v in enumerate(snapped):
+                # + 0.0 folds IEEE -0.0 (the oracle's rounding does the same)
+                lat = round(math.degrees(math.asin(max(-1.0, min(1.0, v[2])))), 6) + 0.0
+                lng = round(math.degrees(math.atan2(v[1], v[0])), 6) + 0.0
+                out.append((row["line_id"], seq, lat, lng))
+        return pd.DataFrame(out, columns=["line_id", "seq", "vlat", "vlng"])
+
+    return lines_df.groupBy("line_id").applyInPandas(run, SNAP_LINE_SCHEMA)
+
+
 VALIDATE_SCHEMA = T.StructType(
     [
         T.StructField("poly_id", T.IntegerType(), False),

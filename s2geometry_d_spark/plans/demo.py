@@ -894,6 +894,102 @@ FROM v
 """
 
 
+def snap_fixture_lines():
+    """[(line_id, [vertex_xyz])] dirty polylines for the builder POLYLINE
+    layer: near-duplicate consecutive vertices (merge to one E4 site), an
+    A->B->A spike (KEPT — the polyline layer keeps sibling pairs), and one
+    line whose vertices all fall in a single E4 cell (collapses, vanishes).
+    All latitudes stay below 30 deg so distinct E4 grid points are farther
+    apart than the snap radius (lng pitch shrinks by cos(lat)) — per-vertex
+    rounding and greedy site selection then provably agree."""
+
+    def xyz(lat, lng):
+        la, lo = math.radians(lat), math.radians(lng)
+        return (
+            math.cos(la) * math.cos(lo),
+            math.cos(la) * math.sin(lo),
+            math.sin(la),
+        )
+
+    out = []
+    # 0: clean 5-vertex path, well separated
+    out.append((0, [xyz(1.0 + 0.5 * j, 10.0 + 1.2 * j) for j in range(5)]))
+    # 1: consecutive near-duplicates (within one E4 cell) merge
+    out.append(
+        (
+            1,
+            [
+                xyz(5.000040, 20.000040),
+                xyz(5.000020, 20.000010),  # same E4 cell as previous
+                xyz(5.400040, 20.500040),
+                xyz(5.400010, 20.500020),  # same E4 cell as previous
+                xyz(6.000040, 21.000040),
+            ],
+        )
+    )
+    # 2: A->B->A spike — polyline layer keeps sibling pairs (PATH type)
+    out.append((2, [xyz(-3.0, 40.0), xyz(-3.5, 40.5), xyz(-3.0, 40.0)]))
+    # 3: all vertices inside one E4 cell -> line collapses and vanishes
+    out.append(
+        (
+            3,
+            [
+                xyz(12.000010, -50.000010),
+                xyz(12.000030, -50.000030),
+                xyz(12.000040, -50.000020),
+            ],
+        )
+    )
+    # 4: zigzag with two merge points
+    verts = []
+    for j in range(6):
+        verts.append(xyz(-8.0 + 0.3 * j, 70.0 + 0.7 * ((-1) ** j)))
+        if j % 2 == 1:
+            la = -8.0 + 0.3 * j + 2.0e-6
+            lo = 70.0 + 0.7 * ((-1) ** j) - 2.0e-6
+            verts.append(xyz(la, lo))
+    out.append((4, verts))
+    return out
+
+
+def snap_polylines_sql() -> str:
+    """Independent re-derivation of the builder polyline layer on the same
+    vertex literals: E4 round-half-away snap, consecutive-duplicate
+    removal via lag(), seq renumbering, lines with <2 surviving vertices
+    dropped."""
+    rows = []
+    for lid, verts in snap_fixture_lines():
+        for seq, v in enumerate(verts):
+            la = math.degrees(math.asin(max(-1.0, min(1.0, v[2]))))
+            lo = math.degrees(math.atan2(v[1], v[0]))
+            rows.append(
+                f"({lid}, {seq}, {format(la, '.17e')}, {format(lo, '.17e')})"
+            )
+    e = 10**SNAP_EXPONENT
+    return f"""
+WITH v(line_id, seq0, lat, lng) AS (VALUES {", ".join(rows)}),
+s AS (
+  SELECT line_id, seq0,
+         round(round(lat * {e}e0) / {e}e0, 6) + 0e0 AS vlat,
+         round(round(lng * {e}e0) / {e}e0, 6) + 0e0 AS vlng
+  FROM v
+),
+d AS (
+  SELECT line_id, seq0, vlat, vlng,
+         lag(vlat) OVER w AS plat, lag(vlng) OVER w AS plng
+  FROM s WINDOW w AS (PARTITION BY line_id ORDER BY seq0)
+),
+k AS (
+  SELECT line_id, vlat, vlng,
+         CAST(row_number() OVER (PARTITION BY line_id ORDER BY seq0) - 1 AS INT) AS seq
+  FROM d WHERE plat IS NULL OR plat <> vlat OR plng <> vlng
+),
+n AS (SELECT line_id, count(*) AS nv FROM k GROUP BY line_id)
+SELECT k.line_id, k.seq, k.vlat, k.vlng
+FROM k JOIN n ON k.line_id = n.line_id WHERE n.nv >= 2
+"""
+
+
 # -- validation fixture: clean polys + bowties + multi-crossing zigzags ----
 def validation_fixture_polys():
     """[(poly_id, [loop_vertices_xyz])]: ids 0-3 clean regular loops,

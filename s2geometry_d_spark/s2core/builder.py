@@ -266,6 +266,26 @@ def _nearest_site(p, sites: list):
     return best
 
 
+def build_polyline(vertices: list, snap_fn: SnapFunction):
+    """Builder POLYLINE layer (builder/util/s2polyline_layer.d semantics
+    with the default options — PATH polyline type, sibling pairs kept,
+    degenerate edges discarded): vertices snap to greedily-chosen sites,
+    zero-length edges (consecutive vertices snapping to the same site)
+    collapse, and a line left with fewer than 2 vertices vanishes
+    (returns None).  Unlike the polygon layer there is no crossing split
+    or depth assignment — a polyline is just an edge chain."""
+    verts = [tuple(v) for v in vertices]
+    sites = choose_sites(verts, snap_fn)
+    out: list = []
+    for v in verts:
+        s = _nearest_site(v, sites)
+        if s is not None and (not out or s != out[-1]):
+            out.append(s)
+    if len(out) < 2:
+        return None
+    return out
+
+
 def build_polygon(
     loops_vertices: list,
     snap_fn: SnapFunction,
