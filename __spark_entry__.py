@@ -1444,6 +1444,21 @@ def _q_snap_polylines(spark, sf_dir):
     return snap_polylines_table(df, exponent=demo.SNAP_EXPONENT)
 
 
+def _q_assemble_polylines(spark, sf_dir):
+    """Builder POLYLINE layer PATH assembly (PolylineType::PATH,
+    builder/graph.d:1453-1487): directed edge soup -> maximal polylines
+    splitting at non-interior vertices, leftover cycles canonicalized to
+    start at their min edge id.  Spark side is pointer-doubling list
+    ranking (pure Catalyst joins); the oracle re-derives the semantics
+    with a recursive walk over the same edge literals."""
+    from s2geometry_d_spark.operators import chains
+
+    df = spark.createDataFrame(
+        demo.chain_fixture_edges(), "edge_id long, src long, dst long"
+    )
+    return chains.assemble_polylines(df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- pipeline text/ANN ops FIRST: these four were green in the
@@ -1502,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlay_holes_symdiff": _q_polygon_overlay_holes("symmetric_difference"),
         "snap_polygons": _q_snap_polygons,
         "snap_polylines": _q_snap_polylines,
+        "assemble_polylines": _q_assemble_polylines,
         "validate_polygons": _q_validate_polygons,
         "within_distance_join": _q_within_distance,
         "within_distance_polyline": _q_within_polyline,
@@ -2968,4 +2984,5 @@ def oracle_sql() -> dict[str, str]:
         "dataset_mixture": _dataset_mixture_sql(),
         "shard_by_token_budget": _shard_tokens_sql(),
         "snap_polylines": demo.snap_polylines_sql(),
+        "assemble_polylines": demo.assemble_polylines_sql(),
     }

@@ -1,0 +1,337 @@
+"""Polyline assembly from an edge soup — the builder's S2PolylineVectorLayer.
+
+Reference: builder/util/s2polyline_vector_layer.d:36-48 (layer contract)
+and builder/graph.d:1436-1560 (``PolylineBuilder.buildPaths`` /
+``buildWalks``).  The layer assembles directed edges into maximal
+polylines; with ``PolylineType::PATH`` (the default) a polyline may pass
+*through* a vertex only if that vertex is interior (indegree == 1 and
+outdegree == 1), so chains split at junctions, merge points and path
+endpoints, and any edges left over after path extraction form pure
+cycles that are emitted starting from their minimum input edge id
+(``canonicalizeLoopOrder``).
+
+Spark-first decomposition of PATH assembly (``assemble_polylines``) —
+pure Catalyst joins, no Python kernel and no driver-side graph:
+
+1. **Vertex degrees** — one groupBy per side unioned; interior =
+   (ind == 1 AND outd == 1).  Shuffles on the vertex key.
+2. **Predecessor links** — edge e2 is preceded by the unique e with
+   e.dst == e2.src iff that vertex is interior (ind == 1 makes the
+   predecessor unique, outd == 1 makes the successor unique), so the
+   link relation is a partial bijection and components are simple
+   chains or simple cycles.
+3. **List ranking by pointer doubling** — each edge carries
+   (ptr, d, root): ptr = 2^k-th predecessor, d = distance walked,
+   root = the chain-start edge once reached.  One self-join per round;
+   after ceil(log2 L) rounds every path edge knows its start edge and
+   its offset ``seq`` from it.  A parallel min-id accumulator detects
+   pure cycles (ptr never nulls but the running component-min goes
+   stable); the cycle's min-id edge then cuts its own incoming link —
+   exactly ``canonicalizeLoopOrder``'s start — and one more doubling
+   pass ranks the cycle edges.  O(log L) rounds of equi-joins,
+   localCheckpointed so round t+1's plan never nests round t's; NEVER
+   O(chain length) rounds (min-label propagation over a path is the
+   worst-case-diameter graph) and never a whole chain in one task.
+4. **Chain identity** — groupBy(root).min(edge_id) + one join back:
+   ``polyline_id`` is the minimum input edge id of the chain.
+
+``PolylineType::WALK`` (backtracking allowed, Eulerian-walk extraction
+with excess-degree starts and loop splicing, graph.d:1489-1560) is
+genuinely sequential *within* a connected multigraph, so it is exposed
+per-graph: :func:`assemble_walks_per_graph` runs the reference algorithm
+inside one ``applyInPandas`` group per ``graph_id`` — the builder
+invocation is the unit of parallelism, exactly like
+``snap_polygons_table``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHAIN_SCHEMA = T.StructType(
+    [
+        T.StructField("polyline_id", T.LongType(), False),
+        T.StructField("seq", T.IntegerType(), False),
+        T.StructField("edge_id", T.LongType(), False),
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+    ]
+)
+
+
+def _rank_to_roots(state: DataFrame, max_rounds: int) -> DataFrame:
+    """Pointer-doubling list ranking over a functional predecessor graph.
+
+    ``state`` columns: edge_id, ptr (nullable long — predecessor edge id),
+    d (long — distance to ptr), root (nullable long — terminal edge id,
+    set iff ptr is null), minid (long — running min edge id over self and
+    all predecessors within 2^k hops).
+
+    Terminates when a full round changes no row's minid and nulls no
+    row's ptr: on a path some unfinished row nulls its ptr every round
+    (the unfinished row nearest the start always lands on a finished
+    target), and a globally minid-stable round is a monotone fixpoint
+    (round k+1's new window half is a round-(k-1) window that round k
+    already proved adds nothing) — so at exit every path row is ranked
+    (ptr null, root = chain-start edge id, d = offset from the start)
+    and the rows with ptr still set are exactly the pure-cycle rows,
+    their minid = the cycle minimum; the caller uses that to cut.
+    """
+    state = state.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        live = state.filter(F.col("ptr").isNotNull())
+        if live.limit(1).count() == 0:
+            break
+        p = state.select(
+            F.col("edge_id").alias("p_id"),
+            F.col("ptr").alias("p_ptr"),
+            F.col("d").alias("p_d"),
+            F.col("root").alias("p_root"),
+            F.col("minid").alias("p_minid"),
+        )
+        nxt = (
+            state.join(p, state["ptr"] == p["p_id"], "left")
+            .select(
+                "edge_id",
+                F.when(F.col("p_id").isNull(), F.col("ptr"))
+                .otherwise(F.col("p_ptr"))
+                .alias("ptr"),
+                F.when(F.col("p_id").isNull(), F.col("d"))
+                .otherwise(F.col("d") + F.col("p_d"))
+                .alias("d"),
+                F.when(F.col("p_id").isNull(), F.col("root"))
+                .otherwise(F.col("p_root"))
+                .alias("root"),
+                F.when(
+                    F.col("p_id").isNull(), F.col("minid")
+                )
+                .otherwise(F.least(F.col("minid"), F.col("p_minid")))
+                .alias("minid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(state.alias("s"), "edge_id")
+            .filter(
+                (F.col("n.ptr").isNull() != F.col("s.ptr").isNull())
+                | (F.col("n.minid") != F.col("s.minid"))
+            )
+            .limit(1)
+            .count()
+        )
+        state = nxt
+        if changed == 0:
+            break
+    return state
+
+
+def assemble_polylines(
+    edges_df: DataFrame,
+    edge_id: str = "edge_id",
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Directed PATH polyline assembly (graph.d:1453-1487 semantics).
+
+    ``edges_df`` columns: ``edge_id`` (long, the input edge id whose
+    minimum canonicalizes cycle starts), ``src`` / ``dst`` (long vertex
+    keys — post-snap site ids, so vertex identity is exact).  Returns
+    (polyline_id, seq, edge_id, src, dst) where ``polyline_id`` is the
+    minimum edge id of the chain and ``seq`` orders its edges from the
+    chain start (the unique non-interior-source edge for a path, the
+    minimum-id edge for a pure cycle).  ``max_rounds`` bounds the
+    doubling loop — 64 covers any chain that fits in a long.
+    """
+    e = edges_df.select(
+        F.col(edge_id).cast("long").alias("edge_id"),
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("src").alias("v"), F.lit(0).alias("i"), F.lit(1).alias("o"))
+        .unionByName(
+            e.select(F.col("dst").alias("v"), F.lit(1).alias("i"), F.lit(0).alias("o"))
+        )
+        .groupBy("v")
+        .agg(F.sum("i").alias("ind"), F.sum("o").alias("outd"))
+    )
+    interior = deg.filter((F.col("ind") == 1) & (F.col("outd") == 1)).select("v")
+
+    # pred(e2) = the unique e with e.dst == e2.src, defined iff e2.src
+    # is interior (ind==1 → unique pred; outd==1 → unique succ)
+    preds = (
+        e.join(interior, e["src"] == interior["v"])
+        .select(F.col("edge_id").alias("to_id"), F.col("src").alias("via"))
+        .join(
+            e.select(F.col("edge_id").alias("pred_id"), F.col("dst").alias("pv")),
+            F.col("via") == F.col("pv"),
+        )
+        .select("to_id", "pred_id")
+    )
+    state = e.join(preds, e["edge_id"] == preds["to_id"], "left").select(
+        "edge_id",
+        F.col("pred_id").alias("ptr"),
+        F.when(F.col("pred_id").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("d"),
+        F.when(F.col("pred_id").isNull(), F.col("edge_id")).alias("root"),
+        F.col("edge_id").alias("minid"),
+    )
+    ranked = _rank_to_roots(state, max_rounds)
+
+    # pure cycles: ptr still set, minid = cycle min.  Cut the incoming
+    # link of the min-id edge (canonicalizeLoopOrder start) and re-rank.
+    cyc = ranked.filter(F.col("ptr").isNotNull())
+    if cyc.limit(1).count() > 0:
+        cyc_ids = cyc.select("edge_id", F.col("minid").alias("cyc_min"))
+        cut_state = (
+            e.join(cyc_ids, "edge_id")
+            .join(preds, F.col("edge_id") == preds["to_id"], "left")
+            .select(
+                "edge_id",
+                F.when(F.col("edge_id") == F.col("cyc_min"), F.lit(None))
+                .otherwise(F.col("pred_id"))
+                .cast("long")
+                .alias("ptr"),
+                F.when(F.col("edge_id") == F.col("cyc_min"), F.lit(0))
+                .otherwise(F.lit(1))
+                .cast("long")
+                .alias("d"),
+                F.when(
+                    F.col("edge_id") == F.col("cyc_min"), F.col("edge_id")
+                ).alias("root"),
+                F.col("edge_id").alias("minid"),
+            )
+        )
+        cyc_ranked = _rank_to_roots(cut_state, max_rounds)
+        ranked = ranked.filter(F.col("ptr").isNull()).unionByName(cyc_ranked)
+
+    chain_ids = ranked.groupBy("root").agg(F.min("edge_id").alias("polyline_id"))
+    return (
+        ranked.join(chain_ids, "root")
+        .join(e, "edge_id")
+        .select(
+            F.col("polyline_id").cast("long"),
+            F.col("d").cast("int").alias("seq"),
+            F.col("edge_id").cast("long"),
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+        )
+    )
+
+
+WALK_SCHEMA = T.StructType(
+    [
+        T.StructField("graph_id", T.IntegerType(), False),
+        T.StructField("walk_id", T.IntegerType(), False),
+        T.StructField("seq", T.IntegerType(), False),
+        T.StructField("edge_id", T.LongType(), False),
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+    ]
+)
+
+
+def _build_walks(edges: list) -> list:
+    """Reference ``buildWalks`` (graph.d:1489-1560), directed edges:
+    ``edges`` = [(edge_id, src, dst)] sorted by input edge id.  Returns a
+    list of walks, each a list of edge tuples.  Starts at vertices with
+    outdegree > indegree (consuming one unit of excess per start), then
+    splices remaining loops into existing walks (``maximizeWalk``), then
+    assembles leftover loops from their min-edge-id chain starts."""
+    from collections import defaultdict
+
+    out_edges: dict = defaultdict(list)
+    ind: dict = defaultdict(int)
+    outd: dict = defaultdict(int)
+    for t in edges:
+        out_edges[t[1]].append(t)
+        outd[t[1]] += 1
+        ind[t[2]] += 1
+    used: set = set()
+
+    def next_unused(v):
+        best = None
+        for t in out_edges[v]:
+            if t[0] not in used and (best is None or t[0] < best[0]):
+                best = t
+        return best
+
+    def build_walk(v):
+        walk = []
+        while True:
+            t = next_unused(v)
+            if t is None:
+                return walk
+            used.add(t[0])
+            walk.append(t)
+            v = t[2]
+
+    def maximize_walk(walk):
+        # splice unused loops at any vertex already on the walk
+        i = 0
+        while i <= len(walk):
+            v = walk[i][1] if i < len(walk) else walk[-1][2]
+            t = next_unused(v)
+            if t is None:
+                i += 1
+                continue
+            loop = build_walk(v)
+            walk[i:i] = loop
+        return walk
+
+    walks = []
+    excess_used: dict = defaultdict(int)
+    for t in edges:
+        if t[0] in used:
+            continue
+        v = t[1]
+        raw = outd[v] - ind[v]
+        if raw <= 0:  # reference checks raw excess BEFORE the used offset
+            continue
+        excess = raw - excess_used[v]
+        if excess <= 0:
+            continue
+        excess_used[v] += 1
+        w = build_walk(v)
+        excess_used[w[-1][2]] -= 1
+        walks.append(w)
+    if len(used) < len(edges):
+        for w in walks:
+            maximize_walk(w)
+    for t in edges:
+        if t[0] in used:
+            continue
+        # after excess-start peeling the unused subgraph is balanced
+        # (every vertex ind == outd), i.e. disjoint circuits unreachable
+        # from any existing walk; emit each from its min unused edge id
+        walks.append(maximize_walk(build_walk(t[1])))
+    return walks
+
+
+def assemble_walks_per_graph(edges_df: DataFrame) -> DataFrame:
+    """``PolylineType::WALK`` assembly, one group per ``graph_id``
+    (columns: graph_id int, edge_id long, src long, dst long).  The walk
+    extraction is sequential within a graph (Euler-walk splicing), so the
+    builder invocation — not the edge — is the parallel unit."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(key[0])
+        edges = sorted(
+            (int(r.edge_id), int(r.src), int(r.dst)) for r in pdf.itertuples()
+        )
+        out = []
+        for wid, walk in enumerate(_build_walks(edges)):
+            for seq, (eid, s, d) in enumerate(walk):
+                out.append((gid, wid, seq, eid, s, d))
+        return pd.DataFrame(
+            out, columns=["graph_id", "walk_id", "seq", "edge_id", "src", "dst"]
+        )
+
+    return edges_df.groupBy("graph_id").applyInPandas(run, WALK_SCHEMA)

@@ -990,6 +990,80 @@ FROM k JOIN n ON k.line_id = n.line_id WHERE n.nv >= 2
 """
 
 
+# -- edge-soup fixture for PolylineVectorLayer PATH assembly ----------------
+def chain_fixture_edges():
+    """[(edge_id, src_vertex, dst_vertex)] directed edge soup exercising
+    every buildPaths case (builder/graph.d:1453-1487): a clean chain, a
+    fan-out junction (splits), a lollipop (stem + attached loop), a pure
+    cycle (all-interior — canonicalized to start at min edge id), exact
+    duplicate edges (DuplicateEdges::KEEP — two one-edge chains), an
+    isolated edge, and a loop that returns to its non-interior start
+    vertex (the ``v == start`` break)."""
+    return [
+        # clean chain 0->1->2->3->4
+        (0, 0, 1), (1, 1, 2), (2, 2, 3), (3, 3, 4),
+        # junction: 11 has outdegree 2 -> three separate chains
+        (10, 10, 11), (11, 11, 12), (12, 11, 13),
+        # lollipop: stem 20->21 + loop 21->22->21
+        (20, 20, 21), (21, 21, 22), (22, 22, 21),
+        # pure cycle 30->31->32->30 (ids chosen so min id is NOT first)
+        (32, 30, 31), (31, 31, 32), (30, 32, 30),
+        # duplicate edges kept as two chains
+        (40, 40, 41), (41, 40, 41),
+        # isolated edge
+        (50, 50, 51),
+        # loop returning to a non-interior start: 73->70, 70->71->72->70
+        (60, 73, 70), (61, 70, 71), (62, 71, 72), (63, 72, 70),
+    ]
+
+
+def assemble_polylines_sql() -> str:
+    """Independent PATH-assembly re-derivation over the same edge
+    literals: degree-based interior test, recursive walk from every
+    non-interior source, cycle walks from every leftover edge keeping only
+    the min-edge-id root, polyline_id = min edge id per chain."""
+    vals = ", ".join(f"({e}, {s}, {d})" for e, s, d in chain_fixture_edges())
+    return f"""
+WITH RECURSIVE
+e(eid, src, dst) AS (VALUES {vals}),
+deg AS (
+  SELECT v, sum(i) AS ind, sum(o) AS outd FROM (
+    SELECT src AS v, 0 AS i, 1 AS o FROM e
+    UNION ALL SELECT dst AS v, 1 AS i, 0 AS o FROM e
+  ) GROUP BY v
+),
+interior AS (SELECT v FROM deg WHERE ind = 1 AND outd = 1),
+walk(root, eid, dst, seq) AS (
+  SELECT eid, eid, dst, 0 FROM e WHERE src NOT IN (SELECT v FROM interior)
+  UNION ALL
+  SELECT w.root, e2.eid, e2.dst, w.seq + 1
+  FROM walk w JOIN e e2 ON e2.src = w.dst
+  WHERE w.dst IN (SELECT v FROM interior)
+),
+cyc(root, rootsrc, eid, dst, seq) AS (
+  SELECT eid, src, eid, dst, 0 FROM e
+  WHERE eid NOT IN (SELECT eid FROM walk)
+  UNION ALL
+  SELECT c.root, c.rootsrc, e2.eid, e2.dst, c.seq + 1
+  FROM cyc c JOIN e e2 ON e2.src = c.dst
+  WHERE e2.src <> c.rootsrc
+),
+ckeep AS (SELECT root FROM cyc GROUP BY root HAVING root = min(eid)),
+allw AS (
+  SELECT root, eid, seq FROM walk
+  UNION ALL
+  SELECT c.root, c.eid, c.seq FROM cyc c JOIN ckeep USING (root)
+),
+pid AS (SELECT root, min(eid) AS polyline_id FROM allw GROUP BY root)
+SELECT CAST(pid.polyline_id AS BIGINT) AS polyline_id,
+       CAST(a.seq AS INT) AS seq,
+       CAST(a.eid AS BIGINT) AS edge_id,
+       CAST(e.src AS BIGINT) AS src,
+       CAST(e.dst AS BIGINT) AS dst
+FROM allw a JOIN pid ON a.root = pid.root JOIN e ON a.eid = e.eid
+"""
+
+
 # -- validation fixture: clean polys + bowties + multi-crossing zigzags ----
 def validation_fixture_polys():
     """[(poly_id, [loop_vertices_xyz])]: ids 0-3 clean regular loops,
