@@ -1459,6 +1459,34 @@ def _q_assemble_polylines(spark, sf_dir):
     return chains.assemble_polylines(df)
 
 
+def _q_assemble_walks(spark, sf_dir):
+    """PolylineType::WALK assembly (graph.d:1489-1560 buildWalks): Euler
+    walks with excess-degree starts and loop splicing, one applyInPandas
+    group per graph_id.  Sequential within a graph by nature, so no SQL
+    oracle — semantics are pinned by tests/test_chains.py walk-property
+    and splice cases."""
+    from s2geometry_d_spark.operators import chains
+
+    edges = [(g, *t) for g in (0, 1) for t in demo.chain_fixture_edges()]
+    df = spark.createDataFrame(
+        edges, "graph_id int, edge_id long, src long, dst long"
+    )
+    return chains.assemble_walks_per_graph(df)
+
+
+def _q_build_polyline_graph(spark, sf_dir):
+    """Composed builder pipeline: snap dirty polylines to ONE shared E4
+    site set, emit the global directed edge soup, PATH-assemble — chains
+    merge across input lines at shared sites and split at junction sites
+    (the defining multi-input S2Builder behavior).  Oracle re-derives
+    snap + site keys + the recursive walk over the same vertex literals."""
+    from s2geometry_d_spark.operators.chains import build_polyline_graph
+    from s2geometry_d_spark.operators.overlay import dirty_polylines_dataframe
+
+    df = dirty_polylines_dataframe(spark, demo.graph_fixture_lines())
+    return build_polyline_graph(df, exponent=demo.SNAP_EXPONENT)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- pipeline text/ANN ops FIRST: these four were green in the
@@ -1518,6 +1546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_polygons": _q_snap_polygons,
         "snap_polylines": _q_snap_polylines,
         "assemble_polylines": _q_assemble_polylines,
+        "build_polyline_graph": _q_build_polyline_graph,
+        "assemble_walks": _q_assemble_walks,
         "validate_polygons": _q_validate_polygons,
         "within_distance_join": _q_within_distance,
         "within_distance_polyline": _q_within_polyline,
@@ -2985,4 +3015,5 @@ def oracle_sql() -> dict[str, str]:
         "shard_by_token_budget": _shard_tokens_sql(),
         "snap_polylines": demo.snap_polylines_sql(),
         "assemble_polylines": demo.assemble_polylines_sql(),
+        "build_polyline_graph": demo.build_polyline_graph_sql(),
     }

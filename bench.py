@@ -88,6 +88,13 @@ EXTRA = [
     "image_resize_stats",
     "video_frame_sample",
     "dedup_clusters",
+    # round 5, continuation batch
+    "sample_stratified",
+    "dataset_mixture",
+    "shard_by_token_budget",
+    "snap_polylines",
+    "assemble_polylines",
+    "build_polyline_graph",
 ]
 
 

@@ -226,6 +226,70 @@ def assemble_polylines(
     )
 
 
+def build_polyline_graph(
+    lines_df: DataFrame, exponent: int = 4, max_rounds: int = 64
+) -> DataFrame:
+    """The full builder pipeline for polyline input: S2Builder snap +
+    S2PolylineVectorLayer PATH assembly (s2builder.d:100-700 +
+    builder/util/s2polyline_vector_layer.d) as one composed operator.
+
+    All input polylines share ONE snap-site set (IntLatLng E{exponent}
+    sites), so a vertex where two lines meet becomes the same site and
+    chains merge ACROSS input lines (or split, if the site turns into a
+    junction) — the defining behavior of feeding many polylines through
+    one builder, which per-line snapping alone cannot produce.
+
+    Stages: per-line snap (map-only applyInPandas) -> integer site keys
+    (exact E4 grid arithmetic, no float equality) -> consecutive-vertex
+    edges via a per-line window -> pointer-doubling PATH assembly.
+    ``edge_id = line_id * 10^6 + seq`` (lines are capped at 10^6
+    snapped vertices), so chain/cycle canonicalization prefers lower
+    input line ids, matching the reference's input-edge ordering.
+
+    Returns (polyline_id, seq, src_lat, src_lng, dst_lat, dst_lng).
+    """
+    from pyspark.sql import Window
+
+    from .overlay import snap_polylines_table
+
+    e = 10**exponent
+    width = 360 * e + 1
+    snapped = snap_polylines_table(lines_df, exponent=exponent)
+    verts = snapped.select(
+        "line_id",
+        "seq",
+        F.round(F.col("vlat") * e).cast("long").alias("lat_e"),
+        F.round(F.col("vlng") * e).cast("long").alias("lng_e"),
+    ).withColumn(
+        "site",
+        (F.col("lat_e") + F.lit(90 * e)) * F.lit(width)
+        + (F.col("lng_e") + F.lit(180 * e)),
+    )
+    w = Window.partitionBy("line_id").orderBy("seq")
+    edges = (
+        verts.withColumn("nsite", F.lead("site").over(w))
+        .filter(F.col("nsite").isNotNull())
+        .select(
+            (F.col("line_id").cast("long") * F.lit(1_000_000) + F.col("seq")).alias(
+                "edge_id"
+            ),
+            F.col("site").alias("src"),
+            F.col("nsite").alias("dst"),
+        )
+    )
+    chains = assemble_polylines(edges, max_rounds=max_rounds)
+
+    def lat(c):  # integer div/mod only — sites are exact grid keys
+        return ((F.expr(f"{c} div {width}") - 90 * e) / float(e)).alias(f"{c}_lat")
+
+    def lng(c):
+        return ((F.col(c) % width - 180 * e) / float(e)).alias(f"{c}_lng")
+
+    return chains.select(
+        "polyline_id", "seq", lat("src"), lng("src"), lat("dst"), lng("dst")
+    )
+
+
 WALK_SCHEMA = T.StructType(
     [
         T.StructField("graph_id", T.IntegerType(), False),

@@ -990,6 +990,121 @@ FROM k JOIN n ON k.line_id = n.line_id WHERE n.nv >= 2
 """
 
 
+# -- multi-line fixture for the composed snap + PATH-assembly pipeline ------
+def graph_fixture_lines():
+    """snap_fixture_lines() plus lines that interact ACROSS line ids once
+    snapped to the shared site set: lines 4+5 meet end-to-start at one
+    site (degree 1/1 — they merge into ONE chain), lines 6/7/8 meet at a
+    fan-out site (outdegree 2 — chains split there).  Endpoint literals
+    repeat exactly so the shared E4 site is bit-identical."""
+
+    def xyz(lat, lng):
+        la, lo = math.radians(lat), math.radians(lng)
+        return (
+            math.cos(la) * math.cos(lo),
+            math.cos(la) * math.sin(lo),
+            math.sin(la),
+        )
+
+    out = list(snap_fixture_lines())  # line ids 0-4
+    # 10: C->D, 11: D->E->F  — D interior, merge across lines
+    out.append((10, [xyz(0.0, -30.0), xyz(1.0, -29.0)]))
+    out.append((11, [xyz(1.0, -29.0), xyz(2.0, -28.0), xyz(3.0, -27.0)]))
+    # 12: G->H, 13: H->I, 14: H->J — H has outdegree 2, split
+    out.append((12, [xyz(10.0, -40.0), xyz(11.0, -39.0)]))
+    out.append((13, [xyz(11.0, -39.0), xyz(12.0, -38.0)]))
+    out.append((14, [xyz(11.0, -39.0), xyz(12.0, -40.0)]))
+    return out
+
+
+def build_polyline_graph_sql() -> str:
+    """Independent re-derivation of the composed builder pipeline on the
+    same vertex literals: E4 snap + duplicate collapse per line (as
+    snap_polylines_sql), integer site keys, consecutive-vertex edges,
+    then the recursive PATH walk (as assemble_polylines_sql) over the
+    derived edge soup, decoding sites back to degrees at the end."""
+    rows = []
+    for lid, verts in graph_fixture_lines():
+        for seq, v in enumerate(verts):
+            la = math.degrees(math.asin(max(-1.0, min(1.0, v[2]))))
+            lo = math.degrees(math.atan2(v[1], v[0]))
+            rows.append(
+                f"({lid}, {seq}, {format(la, '.17e')}, {format(lo, '.17e')})"
+            )
+    e = 10**SNAP_EXPONENT
+    width = 360 * e + 1
+    return f"""
+WITH RECURSIVE
+v(line_id, seq0, lat, lng) AS (VALUES {", ".join(rows)}),
+s AS (
+  SELECT line_id, seq0,
+         round(round(lat * {e}e0) / {e}e0, 6) + 0e0 AS vlat,
+         round(round(lng * {e}e0) / {e}e0, 6) + 0e0 AS vlng
+  FROM v
+),
+d AS (
+  SELECT line_id, seq0, vlat, vlng,
+         lag(vlat) OVER w AS plat, lag(vlng) OVER w AS plng
+  FROM s WINDOW w AS (PARTITION BY line_id ORDER BY seq0)
+),
+k AS (
+  SELECT line_id, vlat, vlng,
+         CAST(row_number() OVER (PARTITION BY line_id ORDER BY seq0) - 1 AS INT) AS seq
+  FROM d WHERE plat IS NULL OR plat <> vlat OR plng <> vlng
+),
+n AS (SELECT line_id, count(*) AS nv FROM k GROUP BY line_id),
+sv AS (
+  SELECT k.line_id, k.seq,
+         (CAST(round(k.vlat * {e}e0) AS BIGINT) + {90 * e}) * {width}
+         + (CAST(round(k.vlng * {e}e0) AS BIGINT) + {180 * e}) AS site
+  FROM k JOIN n ON k.line_id = n.line_id WHERE n.nv >= 2
+),
+e(eid, src, dst) AS (
+  SELECT eid, src, dst FROM (
+    SELECT line_id * 1000000 + seq AS eid, site AS src,
+           lead(site) OVER (PARTITION BY line_id ORDER BY seq) AS dst
+    FROM sv
+  ) WHERE dst IS NOT NULL
+),
+deg AS (
+  SELECT vv, sum(i) AS ind, sum(o) AS outd FROM (
+    SELECT src AS vv, 0 AS i, 1 AS o FROM e
+    UNION ALL SELECT dst AS vv, 1 AS i, 0 AS o FROM e
+  ) GROUP BY vv
+),
+interior AS (SELECT vv FROM deg WHERE ind = 1 AND outd = 1),
+walk(root, eid, dst, seq) AS (
+  SELECT eid, eid, dst, 0 FROM e WHERE src NOT IN (SELECT vv FROM interior)
+  UNION ALL
+  SELECT w.root, e2.eid, e2.dst, w.seq + 1
+  FROM walk w JOIN e e2 ON e2.src = w.dst
+  WHERE w.dst IN (SELECT vv FROM interior)
+),
+cyc(root, rootsrc, eid, dst, seq) AS (
+  SELECT eid, src, eid, dst, 0 FROM e
+  WHERE eid NOT IN (SELECT eid FROM walk)
+  UNION ALL
+  SELECT c.root, c.rootsrc, e2.eid, e2.dst, c.seq + 1
+  FROM cyc c JOIN e e2 ON e2.src = c.dst
+  WHERE e2.src <> c.rootsrc
+),
+ckeep AS (SELECT root FROM cyc GROUP BY root HAVING root = min(eid)),
+allw AS (
+  SELECT root, eid, seq FROM walk
+  UNION ALL
+  SELECT c.root, c.eid, c.seq FROM cyc c JOIN ckeep USING (root)
+),
+pid AS (SELECT root, min(eid) AS polyline_id FROM allw GROUP BY root)
+SELECT CAST(pid.polyline_id AS BIGINT) AS polyline_id,
+       CAST(a.seq AS INT) AS seq,
+       CAST(e.src // {width} - {90 * e} AS DOUBLE) / {e}e0 AS src_lat,
+       CAST(e.src % {width} - {180 * e} AS DOUBLE) / {e}e0 AS src_lng,
+       CAST(e.dst // {width} - {90 * e} AS DOUBLE) / {e}e0 AS dst_lat,
+       CAST(e.dst % {width} - {180 * e} AS DOUBLE) / {e}e0 AS dst_lng
+FROM allw a JOIN pid ON a.root = pid.root JOIN e ON a.eid = e.eid
+"""
+
+
 # -- edge-soup fixture for PolylineVectorLayer PATH assembly ----------------
 def chain_fixture_edges():
     """[(edge_id, src_vertex, dst_vertex)] directed edge soup exercising

@@ -145,6 +145,68 @@ def test_oracle_sql_matches_spark(spark):
     assert {k: sorted(v) for k, v in oracle.items()} == got
 
 
+# -- composed snap + assemble pipeline -------------------------------------
+
+
+@pytest.fixture(scope="module")
+def graph_rows(spark):
+    from s2geometry_d_spark.operators.overlay import dirty_polylines_dataframe
+
+    df = dirty_polylines_dataframe(spark, demo.graph_fixture_lines())
+    return chains.build_polyline_graph(df, exponent=4).collect()
+
+
+def _by_chain(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.polyline_id, []).append(
+            (r.seq, r.src_lat, r.src_lng, r.dst_lat, r.dst_lng)
+        )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_graph_merges_across_lines(graph_rows):
+    got = _by_chain(graph_rows)
+    # lines 10 (1 edge) + 11 (2 edges) merge into ONE chain C->D->E->F
+    pid = 10 * 1_000_000
+    assert pid in got and len(got[pid]) == 3
+    assert got[pid][0][1:3] == (0.0, -30.0)
+    assert got[pid][-1][3:5] == (3.0, -27.0)
+    assert not any(p // 1_000_000 == 11 for p in got)
+
+
+def test_graph_splits_at_junction(graph_rows):
+    got = _by_chain(graph_rows)
+    # H has outdegree 2: lines 12, 13, 14 stay three separate chains
+    for line in (12, 13, 14):
+        pid = line * 1_000_000
+        assert pid in got and len(got[pid]) == 1
+
+
+def test_graph_spike_becomes_cycle(graph_rows):
+    got = _by_chain(graph_rows)
+    # line 2's A->B->A spike: both vertices degree 1/1 -> a 2-cycle
+    pid = 2 * 1_000_000
+    assert pid in got and len(got[pid]) == 2
+    assert got[pid][0][1:3] == got[pid][1][3:5]  # closes on itself
+
+
+def test_graph_collapsed_line_vanishes(graph_rows):
+    # line 3 collapses inside one E4 cell during snap
+    assert not any(p // 1_000_000 == 3 for p in _by_chain(graph_rows))
+
+
+def test_graph_oracle_sql_matches_spark(graph_rows):
+    import duckdb
+
+    oracle = {}
+    for pid, seq, sla, slo, dla, dlo in duckdb.sql(
+        demo.build_polyline_graph_sql()
+    ).fetchall():
+        oracle.setdefault(pid, []).append((seq, sla, slo, dla, dlo))
+    assert {k: sorted(v) for k, v in oracle.items()} == _by_chain(graph_rows)
+
+
 # -- WALK ------------------------------------------------------------------
 
 

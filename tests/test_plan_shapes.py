@@ -255,3 +255,16 @@ def test_crossing_pairs_tables_single_kernel_no_cartesian(spark, entrymod):
     assert plan.count("crosses(") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_path_assembly_is_pure_catalyst(spark, entrymod):
+    """PATH polyline assembly (pointer-doubling list ranking) claims to
+    need no Python kernel anywhere — degrees, links, doubling rounds and
+    the final rank join are all Catalyst equi-joins/aggregates.  Pin it:
+    no Arrow/Batch Python evaluation in the final plan, and no cartesian
+    product from the self-joins."""
+    df = entrymod.queries()["assemble_polylines"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
