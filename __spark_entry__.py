@@ -1459,6 +1459,22 @@ def _q_assemble_polylines(spark, sf_dir):
     return chains.assemble_polylines(df)
 
 
+def _q_id_set_lexicon(spark, sf_dir):
+    """IdSetLexicon over PIP membership sets (id_set_lexicon.d:32-120 —
+    the reference dictionary-encodes per-cell shape-id sets; here the
+    per-point containing-region sets of the 1000-hexagon join): points
+    sharing a region set share a dense set_id.  Output stringifies the
+    set for engine-neutral hashing; region ids are fixed-width so the
+    joined-string order equals the array order the lexicon ranks by."""
+    from s2geometry_d_spark.operators.lexicon import id_set_lexicon
+
+    pairs = _q_pip_many_poly(spark, sf_dir)
+    enc, _lex = id_set_lexicon(pairs, "point_id", "region_id")
+    return enc.select(
+        "point_id", F.concat_ws("|", F.col("id_set")).alias("regions"), "set_id"
+    )
+
+
 def _q_assemble_walks(spark, sf_dir):
     """PolylineType::WALK assembly (graph.d:1489-1560 buildWalks): Euler
     walks with excess-degree starts and loop splicing, one applyInPandas
@@ -1548,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_polylines": _q_assemble_polylines,
         "build_polyline_graph": _q_build_polyline_graph,
         "assemble_walks": _q_assemble_walks,
+        "id_set_lexicon": _q_id_set_lexicon,
         "validate_polygons": _q_validate_polygons,
         "within_distance_join": _q_within_distance,
         "within_distance_polyline": _q_within_polyline,
@@ -3016,4 +3033,19 @@ def oracle_sql() -> dict[str, str]:
         "snap_polylines": demo.snap_polylines_sql(),
         "assemble_polylines": demo.assemble_polylines_sql(),
         "build_polyline_graph": demo.build_polyline_graph_sql(),
+        "id_set_lexicon": f"""
+WITH pip AS ({demo.many_poly_sql()}),
+sets AS (
+  SELECT point_id,
+         array_to_string(list_sort(list(DISTINCT region_id)), '|') AS regions
+  FROM pip GROUP BY point_id
+),
+lex AS (
+  SELECT regions,
+         CAST(row_number() OVER (ORDER BY regions) - 1 AS INT) AS set_id
+  FROM (SELECT DISTINCT regions FROM sets)
+)
+SELECT s.point_id, s.regions, l.set_id
+FROM sets s JOIN lex l USING (regions)
+""",
     }

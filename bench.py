@@ -95,6 +95,7 @@ EXTRA = [
     "snap_polylines",
     "assemble_polylines",
     "build_polyline_graph",
+    "id_set_lexicon",
 ]
 
 
