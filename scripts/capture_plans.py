@@ -80,6 +80,14 @@ SECTIONS = [
         "index, unordered distinct, ONE exact pair kernel; no cartesian "
         "or nested-loop pair join anywhere",
     ),
+    (
+        "assemble_polylines",
+        "round-5: builder POLYLINE layer PATH assembly by pointer-doubling "
+        "list ranking — the final plan is checkpointed-round scans + "
+        "equi-joins + one groupBy, NO Python evaluation node anywhere "
+        "(plan-pinned); min-label propagation would instead burn rounds "
+        "proportional to chain length",
+    ),
 ]
 
 
