@@ -1604,6 +1604,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(
             dedup.dedup_minhash_lsh(_docs(s, d))
         ),
+        "dedup_keep_best": lambda s, d: dedup.dedup_keep_best(
+            _docs(s, d),
+            text.quality_score(_docs(s, d)),
+            dedup.dedup_minhash_lsh(_docs(s, d)),
+        ),
         "ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "simhash16": lambda s, d: dedup.simhash16(_docs(s, d)),
         "lang_id": lambda s, d: text.lang_id(_docs(s, d)),
@@ -2385,6 +2390,55 @@ SELECT doc AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc
 """
 
 
+def _dedup_keep_best_sql() -> str:
+    """Composition of the cluster walk and the quality score on the same
+    literals: per cluster keep the highest-score doc (ties -> lowest id);
+    unclustered docs represent themselves."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+nodes AS (
+  SELECT DISTINCT doc FROM (
+    SELECT doc_a AS doc FROM cand UNION ALL SELECT doc_b FROM cand
+  )
+),
+ed AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+),
+walk(doc, lbl) AS (
+  SELECT doc, doc AS lbl FROM nodes
+  UNION
+  SELECT ed.u, w.lbl FROM walk w JOIN ed ON ed.v = w.doc
+),
+comp AS (SELECT doc AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc),
+m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS n_spaces
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(least(1e0, n_tokens / 100e0)
+               * (1e0 - abs((n_chars - n_spaces) / n_tokens - 5e0) / 10e0), 6) AS score
+  FROM m
+),
+cl AS (
+  SELECT q.doc_id, coalesce(comp.cluster_id, q.doc_id) AS cluster_id, q.score
+  FROM q LEFT JOIN comp ON q.doc_id = comp.doc_id
+),
+r AS (
+  SELECT doc_id, cluster_id, score,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM cl
+)
+SELECT doc_id, cluster_id, score FROM r WHERE rn = 1
+"""
+
+
 def _jaccard_sql() -> str:
     return f"""
 WITH {_minhash_ctes()},
@@ -3013,6 +3067,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_keep_best": _dedup_keep_best_sql(),
         "ngram_jaccard": _jaccard_sql(),
         "simhash16": _simhash_sql(),
         "lang_id": _langid_sql(),

@@ -96,6 +96,7 @@ EXTRA = [
     "assemble_polylines",
     "build_polyline_graph",
     "id_set_lexicon",
+    "dedup_keep_best",
 ]
 
 

@@ -348,3 +348,35 @@ def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             f"({changed} labels still changing) — raise max_rounds"
         )
     return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_keep_best(
+    docs: DataFrame, scores: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Terminal dedup stage: ONE representative per near-duplicate
+    cluster — the highest-``score`` member, ties broken by lowest doc id.
+    Documents in no cluster represent themselves.
+
+    This is what a production pipeline actually ships: pairs
+    (:func:`dedup_minhash_lsh`) -> clusters (:func:`dedup_clusters`) ->
+    representatives.  Scale shape: clusters' label table joins the doc
+    ids (shuffle on doc_id), then ONE window partitioned by cluster_id —
+    partitions are cluster-sized, never corpus-sized, and the score/text
+    payload is projected before the shuffle."""
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(pairs)
+    scored = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        .join(scores.select("doc_id", "score"), "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "cluster_id", "score")
+    )

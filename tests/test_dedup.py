@@ -188,3 +188,28 @@ def test_dedup_clusters_matches_union_find(spark):
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(df).collect()}
     assert got == want
+
+
+def test_dedup_keep_best_representatives(spark):
+    from s2geometry_d_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(i, "") for i in range(8)], "doc_id long, text string"
+    ).select("doc_id")
+    # scores: cluster {0,1,2} best is 1; cluster {3,4} ties -> lowest id 3;
+    # 5,6,7 unclustered keep themselves
+    scores = spark.createDataFrame(
+        [(0, 0.2), (1, 0.9), (2, 0.5), (3, 0.7), (4, 0.7),
+         (5, 0.1), (6, 0.0), (7, 1.0)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.cluster_id: (r.doc_id, r.score)
+        for r in dedup_keep_best(docs.selectExpr("doc_id"), scores, pairs).collect()
+    }
+    assert got == {
+        0: (1, 0.9), 3: (3, 0.7), 5: (5, 0.1), 6: (6, 0.0), 7: (7, 1.0)
+    }
