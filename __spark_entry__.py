@@ -1459,6 +1459,34 @@ def _q_assemble_polylines(spark, sf_dir):
     return chains.assemble_polylines(df)
 
 
+def _q_event_chains(spark, sf_dir):
+    """SCALED PATH assembly over real table data: each user's event
+    sequence becomes a directed edge soup (event -> next event by id),
+    and the pointer-doubling assembly recovers one ordered chain per
+    user.  At sf0.1: ~1500 chains of ~67 edges — ceil(log2 67) = 7
+    doubling rounds where min-label propagation would need ~67.  The
+    oracle is closed-form (each user IS one chain), so it pins the
+    ranking on 100k-row data without recursive SQL."""
+    from pyspark.sql import Window
+
+    from s2geometry_d_spark.operators import chains
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    edges = (
+        ev.withColumn("nxt", F.lead("event_id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("event_id").alias("edge_id"),
+            F.col("event_id").alias("src"),
+            F.col("nxt").alias("dst"),
+        )
+    )
+    return chains.assemble_polylines(edges)
+
+
 def _q_id_set_lexicon(spark, sf_dir):
     """IdSetLexicon over PIP membership sets (id_set_lexicon.d:32-120 —
     the reference dictionary-encodes per-cell shape-id sets; here the
@@ -1565,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_polyline_graph": _q_build_polyline_graph,
         "assemble_walks": _q_assemble_walks,
         "id_set_lexicon": _q_id_set_lexicon,
+        "event_chains": _q_event_chains,
         "validate_polygons": _q_validate_polygons,
         "within_distance_join": _q_within_distance,
         "within_distance_polyline": _q_within_polyline,
@@ -3088,6 +3117,23 @@ def oracle_sql() -> dict[str, str]:
         "snap_polylines": demo.snap_polylines_sql(),
         "assemble_polylines": demo.assemble_polylines_sql(),
         "build_polyline_graph": demo.build_polyline_graph_sql(),
+        "event_chains": """
+WITH o AS (
+  SELECT user_id, event_id,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+  FROM events
+),
+ed AS (
+  SELECT user_id, event_id AS eid, event_id AS src, nxt AS dst
+  FROM o WHERE nxt IS NOT NULL
+)
+SELECT CAST(min(eid) OVER (PARTITION BY user_id) AS BIGINT) AS polyline_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY eid) - 1 AS INT) AS seq,
+       CAST(eid AS BIGINT) AS edge_id,
+       CAST(src AS BIGINT) AS src,
+       CAST(dst AS BIGINT) AS dst
+FROM ed
+""",
         "id_set_lexicon": f"""
 WITH pip AS ({demo.many_poly_sql()}),
 sets AS (

@@ -97,6 +97,7 @@ EXTRA = [
     "build_polyline_graph",
     "id_set_lexicon",
     "dedup_keep_best",
+    "event_chains",
 ]
 
 
