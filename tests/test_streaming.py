@@ -355,3 +355,59 @@ class TestDedupStream:
         }
         assert want, "fixture produced no near-dup candidates"
         assert got == want
+
+
+class TestChainStream:
+    def test_incremental_chains_equal_batch(self, spark, tmp_path):
+        """Two micro-batches of edge appends: batch 2 extends one chain,
+        merges two others through a new bridge edge, turns an interior
+        vertex into a junction (splitting), and adds a standalone chain.
+        The live artifact must equal a from-scratch PATH assembly over
+        all edges, and the untouched chain's rows must NOT be rewritten."""
+        from s2geometry_d_spark.operators.chains import assemble_polylines
+        from s2geometry_d_spark.streaming.chain_stream import (
+            EDGE_SCHEMA,
+            chain_update_stream,
+            read_live_chains,
+        )
+
+        b1 = [(0, 0, 1), (1, 1, 2), (10, 10, 11), (11, 11, 12),
+              (20, 20, 21), (30, 30, 31)]
+        b2 = [(2, 2, 3), (15, 12, 20), (40, 11, 41), (50, 50, 51)]
+        src = tmp_path / "edges"
+        src.mkdir()
+        for name, rows in (("f1", b1), ("f2", b2)):
+            spark.createDataFrame(rows, EDGE_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"{name}.parquet"))
+
+        out = tmp_path / "out"
+        q = chain_update_stream(
+            spark,
+            f"{src}/*/",
+            str(out),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+        def key(df):
+            return {
+                (r.polyline_id, r.seq, r.edge_id, r.src, r.dst)
+                for r in df.collect()
+            }
+
+        live = read_live_chains(spark, str(out))
+        scratch = assemble_polylines(
+            spark.createDataFrame(b1 + b2, EDGE_SCHEMA)
+        )
+        assert key(live) == key(scratch)
+        # chain 30-31 touches no batch-2 vertex: its single row still
+        # carries batch 0's tag (never rewritten)
+        raw = spark.read.parquet(str(out / "chains"))
+        rows30 = raw.filter(F.col("polyline_id") == 30).collect()
+        assert len(rows30) == 1 and rows30[0].batch_id == 0
+        # the junction split re-created pid 10 in batch 1 over its own
+        # tombstone; the merged chain's old pid 20 stays dead
+        live_pids = {r.polyline_id for r in live.select("polyline_id").distinct().collect()}
+        assert 10 in live_pids and 20 not in live_pids
