@@ -270,3 +270,18 @@ def test_assemble_walks_per_graph(spark):
             [(eid, s, d) for _, eid, s, d in sorted(w)] for w in walks.values()
         ]
         _walk_props(demo.chain_fixture_edges(), rebuilt)
+
+
+def test_empty_edge_soup(spark):
+    df = spark.createDataFrame([], "edge_id long, src long, dst long")
+    assert chains.assemble_polylines(df).count() == 0
+
+
+def test_comb_graph(spark):
+    # spine 0->1->...->20 with a tooth hanging off every spine vertex:
+    # every spine vertex has outdegree 2 -> all single-edge chains except
+    # none; exercises many junctions at once
+    spine = [(i, 1000 + i, 1000 + i + 1) for i in range(20)]
+    teeth = [(100 + i, 1000 + i, 2000 + i) for i in range(21)]
+    edges = spine + teeth
+    assert _spark_paths(spark, edges) == _ref_paths(edges)
