@@ -76,7 +76,14 @@ def chain_update_stream(
         )
         have_artifact = os.path.isdir(f"{out_dir}/chains")
         if have_artifact:
-            live = read_live_chains(spark, out_dir).localCheckpoint(eager=True)
+            # NOT checkpointed: materializing the whole artifact per batch
+            # would scan everything eagerly; as lazy scans, the semi-join
+            # and the affected-edge join stay prunable, and both are
+            # consumed by eager checkpoints (affected below, and
+            # assemble_polylines' input checkpoint) BEFORE this batch
+            # appends to chains/, so no lineage re-reads the files it is
+            # about to write.
+            live = read_live_chains(spark, out_dir)
             batch_verts = (
                 new_edges.select(F.col("src").alias("v"))
                 .unionByName(new_edges.select(F.col("dst").alias("v")))
