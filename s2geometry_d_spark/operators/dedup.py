@@ -278,15 +278,16 @@ def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     pipeline: keep one representative per cluster instead of reasoning
     about pairs.
 
-    Min-label propagation: per round, every node takes min(own label,
-    neighbors' labels); each round is one equi-join + one groupBy (both
-    shuffled on node id, so AQE reuses the partitioning), localCheckpointed
-    so round t+1's plan never nests round t's.  Convergence needs rounds ~
-    component diameter — LSH dup clusters are near-cliques (diameter 1-3),
-    so the driver's changed-count check exits almost immediately; for
-    adversarially long chains swap in large-star/small-star alternation
-    (O(log n) rounds, same join shapes).  Never materializes a component
-    in one task — scales to any cluster size."""
+    Hook + compress: per round every node takes min(own label, neighbors'
+    labels) (one equi-join + one groupBy, both shuffled on node id so AQE
+    reuses the partitioning), then a pointer-jumping shortcut folds in
+    the label OF its label (one more equi-join) — label chains halve each
+    round, so convergence is O(log diameter) rounds, not O(diameter)
+    (pinned by the 81-node-chain test — diameter 80 > max_rounds, so
+    plain propagation would fail it), while LSH near-cliques still exit
+    in 2-3 rounds via the changed-count check.  Every round is
+    localCheckpointed so round t+1's plan never nests round t's.  Never
+    materializes a component in one task — scales to any cluster size."""
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = (
         edges.unionByName(
