@@ -1487,6 +1487,18 @@ def _q_event_chains(spark, sf_dir):
     return chains.assemble_polylines(edges)
 
 
+def _q_audio_chunk_stats(spark, sf_dir):
+    """Audio leg of the multimodal triad: synthetic PCM clips (one per
+    document, integer-hash samples) -> decode stub -> per-chunk
+    mean |amplitude| / peak / zero-crossings via mapInPandas; the oracle
+    re-derives every sample value and the window-based crossing count in
+    SQL."""
+    from s2geometry_d_spark.operators.multimodal import audio_chunk_stats
+    from s2geometry_d_spark.sources.audio import synth_audio
+
+    return audio_chunk_stats(synth_audio(spark, sf_dir))
+
+
 def _q_id_set_lexicon(spark, sf_dir):
     """IdSetLexicon over PIP membership sets (id_set_lexicon.d:32-120 —
     the reference dictionary-encodes per-cell shape-id sets; here the
@@ -1615,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pixel_stats": _q_tile_pixel_stats,
         "image_resize_stats": _q_image_resize_stats,
         "video_frame_sample": _q_video_frame_sample,
+        "audio_chunk_stats": _q_audio_chunk_stats,
         "image_dedup": _q_image_dedup,
         "phash_neardup": _q_phash_neardup,
         "ann_cosine_lsh": _q_ann_lsh,
@@ -3117,6 +3130,37 @@ def oracle_sql() -> dict[str, str]:
         "snap_polylines": demo.snap_polylines_sql(),
         "assemble_polylines": demo.assemble_polylines_sql(),
         "build_polyline_graph": demo.build_polyline_graph_sql(),
+        "audio_chunk_stats": """
+WITH ids AS (
+  SELECT doc_id, 'aud' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS audio_id
+  FROM documents
+),
+idx AS (SELECT unnest(generate_series(0, 4095)) AS i),
+raw AS (
+  SELECT audio_id, i,
+         CAST(((CAST((doc_id * 2654435761 + i * 7919) % 4294967296 AS HUGEINT)
+                * 2246822519) % 4294967296) AS BIGINT) // 65536 AS u
+  FROM ids CROSS JOIN idx
+),
+sm AS (
+  SELECT audio_id, i // 512 AS chunk_id, i % 512 AS j,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  FROM raw
+),
+flags AS (
+  SELECT audio_id, chunk_id, j, s, (s >= 0) AS nonneg,
+         lag(s >= 0) OVER (PARTITION BY audio_id, chunk_id ORDER BY j) AS pn
+  FROM sm
+)
+SELECT audio_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       round(sum(abs(s)) / 512e0, 6) AS mean_abs,
+       CAST(max(abs(s)) AS INT) AS peak,
+       CAST(sum(CASE WHEN pn IS NOT NULL AND nonneg <> pn THEN 1 ELSE 0 END)
+            AS INT) AS zero_crossings
+FROM flags
+GROUP BY audio_id, chunk_id
+""",
         "event_chains": """
 WITH o AS (
   SELECT user_id, event_id,

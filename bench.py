@@ -98,6 +98,7 @@ EXTRA = [
     "id_set_lexicon",
     "dedup_keep_best",
     "event_chains",
+    "audio_chunk_stats",
 ]
 
 

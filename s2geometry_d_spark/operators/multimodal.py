@@ -401,3 +401,58 @@ def frame_sample(videos: DataFrame, every: int = 3) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return videos.mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("chunk_id", T.IntegerType(), False),
+        T.StructField("mean_abs", T.DoubleType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+        T.StructField("zero_crossings", T.IntegerType(), False),
+    ]
+)
+
+
+def audio_chunk_stats(audio_df: DataFrame, chunk: int = 512) -> DataFrame:
+    """Per-chunk audio features over opaque PCM payloads — the audio leg
+    of the multimodal dataset-prep family (decode -> chunk -> per-chunk
+    mean |amplitude|, peak, zero-crossing count; sign changes are counted
+    WITHIN a chunk only, with nonnegative == positive).
+
+    Same plumbing contract as the image kernels: ``mapInPandas`` with
+    bounded Arrow batches, whole-batch numpy after the per-row codec
+    boundary (sources/audio.py stub; real formats raise the documented
+    NotImplementedError), and the binary column never survives past this
+    map stage — at scale only the small stats rows shuffle."""
+    from ..sources.audio import decode_audio
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for aid, data, n in zip(
+                pdf["audio_id"], pdf["bytes"], pdf["n_samples"]
+            ):
+                s = decode_audio(data)[: int(n)].astype(np.int32)
+                m = (len(s) // chunk) * chunk
+                c = s[:m].reshape(-1, chunk)
+                mean_abs = np.round(np.abs(c).sum(axis=1) / float(chunk), 6)
+                peak = np.abs(c).max(axis=1)
+                nonneg = c >= 0
+                zc = (nonneg[:, 1:] != nonneg[:, :-1]).sum(axis=1)
+                for k in range(c.shape[0]):
+                    out.append(
+                        (aid, k, float(mean_abs[k]), int(peak[k]), int(zc[k]))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "audio_id",
+                    "chunk_id",
+                    "mean_abs",
+                    "peak",
+                    "zero_crossings",
+                ],
+            )
+
+    return audio_df.mapInPandas(run, AUDIO_CHUNK_SCHEMA)
