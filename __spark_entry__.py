@@ -1540,7 +1540,11 @@ def _q_build_polyline_graph(spark, sf_dir):
     from s2geometry_d_spark.operators.overlay import dirty_polylines_dataframe
 
     df = dirty_polylines_dataframe(spark, demo.graph_fixture_lines())
-    return build_polyline_graph(df, exponent=demo.SNAP_EXPONENT)
+    # stride 10^6 matches the oracle's edge-id literals (fixture lines
+    # are tiny); the operator default is the collision-proof 2^32
+    return build_polyline_graph(
+        df, exponent=demo.SNAP_EXPONENT, id_stride=1_000_000
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -227,7 +227,10 @@ def assemble_polylines(
 
 
 def build_polyline_graph(
-    lines_df: DataFrame, exponent: int = 4, max_rounds: int = 64
+    lines_df: DataFrame,
+    exponent: int = 4,
+    max_rounds: int = 64,
+    id_stride: int = 1 << 32,
 ) -> DataFrame:
     """The full builder pipeline for polyline input: S2Builder snap +
     S2PolylineVectorLayer PATH assembly (s2builder.d:100-700 +
@@ -242,9 +245,12 @@ def build_polyline_graph(
     Stages: per-line snap (map-only applyInPandas) -> integer site keys
     (exact E4 grid arithmetic, no float equality) -> consecutive-vertex
     edges via a per-line window -> pointer-doubling PATH assembly.
-    ``edge_id = line_id * 10^6 + seq`` (lines are capped at 10^6
-    snapped vertices), so chain/cycle canonicalization prefers lower
-    input line ids, matching the reference's input-edge ordering.
+    ``edge_id = line_id * id_stride + seq``, so chain/cycle
+    canonicalization prefers lower input line ids, matching the
+    reference's input-edge ordering.  The default stride 2^32 cannot
+    collide (``seq`` is an int, always < 2^32; line ids must then be
+    < 2^31); a caller passing a smaller stride asserts its lines have
+    fewer snapped vertices than that stride.
 
     Returns (polyline_id, seq, src_lat, src_lng, dst_lat, dst_lng).
     """
@@ -270,7 +276,7 @@ def build_polyline_graph(
         verts.withColumn("nsite", F.lead("site").over(w))
         .filter(F.col("nsite").isNotNull())
         .select(
-            (F.col("line_id").cast("long") * F.lit(1_000_000) + F.col("seq")).alias(
+            (F.col("line_id").cast("long") * F.lit(id_stride) + F.col("seq")).alias(
                 "edge_id"
             ),
             F.col("site").alias("src"),
@@ -312,13 +318,16 @@ def _build_walks(edges: list) -> list:
     from collections import defaultdict
 
     out_edges: dict = defaultdict(list)
+    in_edges: dict = defaultdict(list)
     ind: dict = defaultdict(int)
     outd: dict = defaultdict(int)
     for t in edges:
         out_edges[t[1]].append(t)
+        in_edges[t[2]].append(t)
         outd[t[1]] += 1
         ind[t[2]] += 1
     used: set = set()
+    excess_used: dict = defaultdict(int)
 
     def next_unused(v):
         best = None
@@ -332,6 +341,14 @@ def _build_walks(edges: list) -> list:
         while True:
             t = next_unused(v)
             if t is None:
+                return walk
+            # reference early-stop (graph.d:1608-1619): if v has remaining
+            # in-excess and an unused INCOMING edge with id <= the best
+            # outgoing id, that outgoing edge continues a DIFFERENT walk —
+            # stop here for idempotency across shared vertices
+            if outd[v] - ind[v] - excess_used[v] < 0 and any(
+                t2[0] not in used and t2[0] <= t[0] for t2 in in_edges[v]
+            ):
                 return walk
             used.add(t[0])
             walk.append(t)
@@ -347,11 +364,13 @@ def _build_walks(edges: list) -> list:
                 i += 1
                 continue
             loop = build_walk(v)
+            if not loop:  # defensive: avoid an infinite splice loop
+                i += 1
+                continue
             walk[i:i] = loop
         return walk
 
     walks = []
-    excess_used: dict = defaultdict(int)
     for t in edges:
         if t[0] in used:
             continue
@@ -364,6 +383,9 @@ def _build_walks(edges: list) -> list:
             continue
         excess_used[v] += 1
         w = build_walk(v)
+        if not w:  # defensive: early-stop cannot fire at a start vertex,
+            excess_used[v] -= 1  # but never index an empty walk
+            continue
         excess_used[w[-1][2]] -= 1
         walks.append(w)
     if len(used) < len(edges):

@@ -35,7 +35,10 @@ def value_lexicon(
     value to a dense id (rank in the value's natural order — a
     deterministic choice where the reference uses insertion order, which
     has no distributed analogue), and encoded_df is ``df`` plus
-    ``id_col`` via a broadcast join."""
+    ``id_col`` via a broadcast join.  NULL is a distinct lexicon value:
+    the join is null-safe, so NULL-valued rows keep their id instead of
+    silently vanishing from encoded_df (a plain equi-join never matches
+    NULL keys)."""
     lex = (
         df.select(value_col)
         .distinct()
@@ -44,7 +47,11 @@ def value_lexicon(
             (F.row_number().over(Window.orderBy(value_col)) - 1).cast("int"),
         )
     )
-    return df.join(F.broadcast(lex), value_col), lex
+    lx = lex.withColumnRenamed(value_col, "_lex_val")
+    encoded = df.join(
+        F.broadcast(lx), F.col(value_col).eqNullSafe(F.col("_lex_val"))
+    ).drop("_lex_val")
+    return encoded, lex
 
 
 def sequence_lexicon(

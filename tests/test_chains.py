@@ -153,7 +153,7 @@ def graph_rows(spark):
     from s2geometry_d_spark.operators.overlay import dirty_polylines_dataframe
 
     df = dirty_polylines_dataframe(spark, demo.graph_fixture_lines())
-    return chains.build_polyline_graph(df, exponent=4).collect()
+    return chains.build_polyline_graph(df, exponent=4, id_stride=1_000_000).collect()
 
 
 def _by_chain(rows):
@@ -285,3 +285,13 @@ def test_comb_graph(spark):
     teeth = [(100 + i, 1000 + i, 2000 + i) for i in range(21)]
     edges = spine + teeth
     assert _spark_paths(spark, edges) == _ref_paths(edges)
+
+
+def test_build_walks_early_stop_at_shared_deficit_vertex():
+    # v has in-excess; the walk arriving via edge 0 must stop at v because
+    # unused incoming edge 1 (id <= best outgoing id 2) continues there
+    # (graph.d:1608-1619 idempotency rule)
+    edges = [(0, 7, 5), (1, 8, 5), (2, 5, 9)]
+    walks = chains._build_walks(edges)
+    _walk_props(edges, walks)
+    assert [[t[0] for t in w] for w in walks] == [[0], [1, 2]]

@@ -411,3 +411,47 @@ class TestChainStream:
         # tombstone; the merged chain's old pid 20 stays dead
         live_pids = {r.polyline_id for r in live.select("polyline_id").distinct().collect()}
         assert 10 in live_pids and 20 not in live_pids
+
+    def test_junction_shared_with_unaffected_chains(self, spark, tmp_path):
+        """A batch touching two of the four chains meeting at a junction
+        must NOT merge through it: the rebuild subgraph is vertex-closed,
+        pulling in the other two incident chains so the junction keeps
+        its true degree (review finding: partial-degree merge)."""
+        from s2geometry_d_spark.operators.chains import assemble_polylines
+        from s2geometry_d_spark.streaming.chain_stream import (
+            EDGE_SCHEMA,
+            chain_update_stream,
+            read_live_chains,
+        )
+
+        b1 = [(100, 1, 10), (101, 2, 10), (102, 10, 3), (103, 10, 4)]
+        b2 = [(200, 5, 1), (201, 3, 6)]
+        src = tmp_path / "edges"
+        src.mkdir()
+        for name, rows in (("f1", b1), ("f2", b2)):
+            spark.createDataFrame(rows, EDGE_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"{name}.parquet"))
+        out = tmp_path / "out"
+        q = chain_update_stream(
+            spark,
+            f"{src}/*/",
+            str(out),
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+        def key(df):
+            return {
+                (r.polyline_id, r.seq, r.edge_id, r.src, r.dst)
+                for r in df.collect()
+            }
+
+        live = read_live_chains(spark, str(out))
+        scratch = assemble_polylines(
+            spark.createDataFrame(b1 + b2, EDGE_SCHEMA)
+        )
+        assert key(live) == key(scratch)
+        pids = {r.polyline_id for r in live.collect()}
+        assert pids == {100, 101, 102, 103}  # junction did NOT merge
