@@ -51,6 +51,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Below this many state rows the pointer-doubling round joins use an
+# explicit broadcast hash join: the per-round state (edge_id, ptr, d, root,
+# minid = 5 longs/row, ~40 MB at the limit) is collected once per round and
+# the round collapses to ONE map stage instead of a 3-stage shuffle join —
+# with AQE launching a job per exchange stage, that is the difference
+# between ~2 and ~6 jobs per doubling round.  Above the limit the shuffle
+# join is kept unchanged (the 100 TB path: state is never broadcast).
+BROADCAST_STATE_ROWS = 1_000_000
+# in broadcast mode the round state is also coalesced to ~this many rows
+# per partition: a 20-row fixture otherwise runs every round's map stage
+# as 32 near-empty tasks whose launch overhead dwarfs the work
+STATE_ROWS_PER_PARTITION = 65_536
+
+
+def _state_parts(n_rows: int) -> int:
+    return max(1, (n_rows + STATE_ROWS_PER_PARTITION - 1) // STATE_ROWS_PER_PARTITION)
+
+
 CHAIN_SCHEMA = T.StructType(
     [
         T.StructField("polyline_id", T.LongType(), False),
@@ -62,7 +80,7 @@ CHAIN_SCHEMA = T.StructType(
 )
 
 
-def _rank_to_roots(state: DataFrame, max_rounds: int) -> DataFrame:
+def _rank_to_roots(state: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
     """Pointer-doubling list ranking over a functional predecessor graph.
 
     ``state`` columns: edge_id, ptr (nullable long — predecessor edge id),
@@ -79,11 +97,28 @@ def _rank_to_roots(state: DataFrame, max_rounds: int) -> DataFrame:
     (ptr null, root = chain-start edge id, d = offset from the start)
     and the rows with ptr still set are exactly the pure-cycle rows,
     their minid = the cycle minimum; the caller uses that to cut.
-    """
-    state = state.localCheckpoint(eager=True)
+
+    Returns ``(state, n_live)`` where ``n_live`` is the number of rows
+    whose ptr is still set (== the pure-cycle row count), so callers
+    never re-scan for cycles.  ONE Spark job per round: the old/new
+    comparison rides inside the round's join as ``_chg``/``_live`` flag
+    columns, and the lazy localCheckpoint is materialized by the same
+    aggregate action that reads the two counters (the previous shape
+    paid three jobs per round — a live probe, an eager checkpoint and a
+    join-based change count)."""
+    state = state.localCheckpoint(eager=False)
+    # ONE job materializes the checkpoint and reads both counters: total
+    # rows pick the round-join strategy, live rows seed the loop guard
+    row0 = state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ptr").isNotNull().cast("int")).alias("l"),
+    ).collect()[0]
+    n_rows = int(row0["n"] or 0)
+    n_live = int(row0["l"] or 0)
+    broadcast_rounds = n_rows <= BROADCAST_STATE_ROWS
+    coalesce_to = _state_parts(n_rows) if broadcast_rounds else None
     for _ in range(max_rounds):
-        live = state.filter(F.col("ptr").isNotNull())
-        if live.limit(1).count() == 0:
+        if n_live == 0:
             break
         p = state.select(
             F.col("edge_id").alias("p_id"),
@@ -92,41 +127,45 @@ def _rank_to_roots(state: DataFrame, max_rounds: int) -> DataFrame:
             F.col("root").alias("p_root"),
             F.col("minid").alias("p_minid"),
         )
+        hop = F.col("p_id").isNotNull()
+        new_ptr = F.when(~hop, F.col("ptr")).otherwise(F.col("p_ptr"))
+        new_minid = F.when(~hop, F.col("minid")).otherwise(
+            F.least(F.col("minid"), F.col("p_minid"))
+        )
+        p_side = F.broadcast(p) if broadcast_rounds else p
         nxt = (
-            state.join(p, state["ptr"] == p["p_id"], "left")
+            state.join(p_side, state["ptr"] == p_side["p_id"], "left")
             .select(
                 "edge_id",
-                F.when(F.col("p_id").isNull(), F.col("ptr"))
-                .otherwise(F.col("p_ptr"))
-                .alias("ptr"),
-                F.when(F.col("p_id").isNull(), F.col("d"))
+                new_ptr.alias("ptr"),
+                F.when(~hop, F.col("d"))
                 .otherwise(F.col("d") + F.col("p_d"))
                 .alias("d"),
-                F.when(F.col("p_id").isNull(), F.col("root"))
+                F.when(~hop, F.col("root"))
                 .otherwise(F.col("p_root"))
                 .alias("root"),
-                F.when(
-                    F.col("p_id").isNull(), F.col("minid")
+                new_minid.alias("minid"),
+                (
+                    (new_ptr.isNull() != F.col("ptr").isNull())
+                    | (new_minid != F.col("minid"))
                 )
-                .otherwise(F.least(F.col("minid"), F.col("p_minid")))
-                .alias("minid"),
+                .cast("int")
+                .alias("_chg"),
+                new_ptr.isNotNull().cast("int").alias("_live"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            nxt.alias("n")
-            .join(state.alias("s"), "edge_id")
-            .filter(
-                (F.col("n.ptr").isNull() != F.col("s.ptr").isNull())
-                | (F.col("n.minid") != F.col("s.minid"))
-            )
-            .limit(1)
-            .count()
-        )
-        state = nxt
+        if coalesce_to is not None:
+            nxt = nxt.coalesce(coalesce_to)
+        nxt = nxt.localCheckpoint(eager=False)
+        row = nxt.agg(
+            F.sum("_chg").alias("c"), F.sum("_live").alias("l")
+        ).collect()[0]
+        changed = int(row["c"] or 0)
+        n_live = int(row["l"] or 0)
+        state = nxt.drop("_chg", "_live")
         if changed == 0:
             break
-    return state
+    return state, n_live
 
 
 def assemble_polylines(
@@ -152,6 +191,15 @@ def assemble_polylines(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
     ).localCheckpoint(eager=True)
+    # broadcast-sized edge soup: hash the derived dimension frames
+    # (interior vertices, predecessor links, chain ids) map-side so the
+    # construction and assembly joins stop cascading exchanges; above the
+    # limit every join below stays a shuffle join (the 100 TB path)
+    bc = (
+        F.broadcast
+        if e.count() <= BROADCAST_STATE_ROWS
+        else (lambda df: df)
+    )
     deg = (
         e.select(F.col("src").alias("v"), F.lit(0).alias("i"), F.lit(1).alias("o"))
         .unionByName(
@@ -165,15 +213,15 @@ def assemble_polylines(
     # pred(e2) = the unique e with e.dst == e2.src, defined iff e2.src
     # is interior (ind==1 → unique pred; outd==1 → unique succ)
     preds = (
-        e.join(interior, e["src"] == interior["v"])
+        e.join(bc(interior), e["src"] == interior["v"])
         .select(F.col("edge_id").alias("to_id"), F.col("src").alias("via"))
         .join(
-            e.select(F.col("edge_id").alias("pred_id"), F.col("dst").alias("pv")),
+            bc(e.select(F.col("edge_id").alias("pred_id"), F.col("dst").alias("pv"))),
             F.col("via") == F.col("pv"),
         )
         .select("to_id", "pred_id")
     )
-    state = e.join(preds, e["edge_id"] == preds["to_id"], "left").select(
+    state = e.join(bc(preds), e["edge_id"] == preds["to_id"], "left").select(
         "edge_id",
         F.col("pred_id").alias("ptr"),
         F.when(F.col("pred_id").isNull(), F.lit(0))
@@ -183,16 +231,18 @@ def assemble_polylines(
         F.when(F.col("pred_id").isNull(), F.col("edge_id")).alias("root"),
         F.col("edge_id").alias("minid"),
     )
-    ranked = _rank_to_roots(state, max_rounds)
+    ranked, n_cyc = _rank_to_roots(state, max_rounds)
 
     # pure cycles: ptr still set, minid = cycle min.  Cut the incoming
     # link of the min-id edge (canonicalizeLoopOrder start) and re-rank.
-    cyc = ranked.filter(F.col("ptr").isNotNull())
-    if cyc.limit(1).count() > 0:
+    # (_rank_to_roots already reports the live/cycle row count — no extra
+    # probe job here.)
+    if n_cyc > 0:
+        cyc = ranked.filter(F.col("ptr").isNotNull())
         cyc_ids = cyc.select("edge_id", F.col("minid").alias("cyc_min"))
         cut_state = (
-            e.join(cyc_ids, "edge_id")
-            .join(preds, F.col("edge_id") == preds["to_id"], "left")
+            e.join(bc(cyc_ids), "edge_id")
+            .join(bc(preds), F.col("edge_id") == preds["to_id"], "left")
             .select(
                 "edge_id",
                 F.when(F.col("edge_id") == F.col("cyc_min"), F.lit(None))
@@ -209,13 +259,13 @@ def assemble_polylines(
                 F.col("edge_id").alias("minid"),
             )
         )
-        cyc_ranked = _rank_to_roots(cut_state, max_rounds)
+        cyc_ranked, _ = _rank_to_roots(cut_state, max_rounds)
         ranked = ranked.filter(F.col("ptr").isNull()).unionByName(cyc_ranked)
 
     chain_ids = ranked.groupBy("root").agg(F.min("edge_id").alias("polyline_id"))
     return (
-        ranked.join(chain_ids, "root")
-        .join(e, "edge_id")
+        ranked.join(bc(chain_ids), "root")
+        .join(bc(e), "edge_id")
         .select(
             F.col("polyline_id").cast("long"),
             F.col("d").cast("int").alias("seq"),

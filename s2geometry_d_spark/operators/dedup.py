@@ -32,6 +32,32 @@ SHINGLE_LEN = 8
 LSH_BANDS = 4
 LSH_ROWS = 2  # minima concatenated per band
 BUCKET_CAP = 200  # buckets larger than this are dropped entirely
+# label tables at or below this row count use broadcast rounds in
+# dedup_clusters (see the strategy note there); above it, shuffle joins
+BROADCAST_LABELS_ROWS = 1_000_000
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least defaultParallelism partitions before a high-fanout
+    projection (shingle/token explode + per-shingle hashing).
+
+    The heavy work in this module is CPU *per input row* (explode to
+    ~300 shingles/doc, then bands*rows md5s per shingle) and partial
+    aggregation keeps it all in the scan stage — so the stage's
+    parallelism is the *input split count*.  A corpus arriving as a few
+    small files (the test fixture: one file = one split) serializes the
+    whole signature computation on one core.  At production scale the
+    corpus has >= cores splits and this is a no-op (the partition-count
+    check below skips the shuffle), so nothing extra is shuffled at
+    100 TB; when it does fire it round-robins only the raw doc rows —
+    the cheapest point in the plan, before any fan-out."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if n < target else df
 
 
 def shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
@@ -40,6 +66,7 @@ def shingles(docs: DataFrame, distinct: bool = True) -> DataFrame:
     ``distinct=False`` skips the dedup shuffle — correct for any
     duplicate-insensitive consumer (min-hash: min over a multiset equals
     min over its set), and the largest single saving in the LSH plan."""
+    docs = _spread(docs)
     out = docs.select(
         "doc_id",
         F.expr(
@@ -212,7 +239,9 @@ def simhash16(docs: DataFrame) -> DataFrame:
     md5(token) has its high bit set else -1); >=0 counts as set.  The nibble
     high-bit trick keeps the definition portable to ANSI SQL.
     """
-    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    toks = _spread(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
     toks = toks.withColumn("h", F.md5(F.col("tok").cast("binary")))
     bit_cols = []
     for b in range(16):
@@ -302,16 +331,35 @@ def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         .select(F.col("u").alias("doc_id"), F.col("u").alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    # strategy chooser (same pattern as chains.BROADCAST_STATE_ROWS): when
+    # the label table is broadcast-sized, every round join hashes the tiny
+    # side map-side — one or two stages per round instead of a 4-exchange
+    # shuffle cascade (AQE launches a job per exchange, so this halves the
+    # per-round latency).  Past the limit the shuffle joins are unchanged —
+    # the 100 TB path never broadcasts the label table.
+    n_nodes = labels.count()
+    small = n_nodes <= BROADCAST_LABELS_ROWS
+    bcast = F.broadcast if small else (lambda df: df)
+    # right-size round partitions in broadcast mode (see chains._state_parts):
+    # a 5k-label table otherwise runs every round as 32 near-empty tasks
+    n_parts = max(1, (n_nodes + 65_535) // 65_536) if small else None
+    changed = None
     for _ in range(max_rounds):
         nbr_min = (
-            edges.join(labels, edges["v"] == labels["doc_id"])
+            edges.join(bcast(labels), edges["v"] == labels["doc_id"])
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # carry the round-start label through as _prev so convergence is an
+        # AGGREGATE over the new frame instead of a join back to the old one
+        # — one lazy localCheckpoint + one agg action per round (the agg
+        # materializes the checkpoint), where the old shape paid an eager
+        # checkpoint job PLUS a join+count job every round
         stepped = labels.join(
-            nbr_min, labels["doc_id"] == nbr_min["u"], "left"
+            bcast(nbr_min), labels["doc_id"] == nbr_min["u"], "left"
         ).select(
             "doc_id",
+            F.col("lbl").alias("_prev"),
             F.least(
                 F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
             ).alias("lbl"),
@@ -323,27 +371,31 @@ def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             F.col("doc_id").alias("_d2"), F.col("lbl").alias("_l2")
         )
         new_labels = (
-            stepped.join(ptr, stepped["lbl"] == ptr["_d2"], "left")
+            stepped.join(bcast(ptr), stepped["lbl"] == ptr["_d2"], "left")
+            .withColumn(
+                "_new",
+                F.least(F.col("lbl"), F.coalesce(F.col("_l2"), F.col("lbl"))),
+            )
             .select(
                 "doc_id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("_l2"), F.col("lbl"))
-                ).alias("lbl"),
+                F.col("_new").alias("lbl"),
+                (F.col("_new") != F.col("_prev")).cast("int").alias("_chg"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
+        if n_parts is not None:
+            new_labels = new_labels.coalesce(n_parts)
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = int(
+            new_labels.agg(F.sum("_chg").alias("c")).collect()[0]["c"] or 0
         )
-        labels = new_labels
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     else:
         import warnings
 
+        if changed is None:
+            changed = "all"  # max_rounds == 0: no round ever ran
         warnings.warn(
             f"dedup_clusters: not converged after {max_rounds} rounds "
             f"({changed} labels still changing) — raise max_rounds"

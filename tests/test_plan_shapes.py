@@ -104,9 +104,17 @@ def test_dedup_lsh_has_single_signature_aggregation(spark, entrymod):
     non-broadcast Exchange below the window+aggregate pair."""
     df = entrymod.queries()["dedup_minhash_lsh"](spark, SF_DIR)
     plan = _plan(df)
-    shuffles = [
+    all_shuffles = [
         ln for ln in plan.splitlines() if "Exchange" in ln and "Broadcast" not in ln
     ]
+    # round 6: dedup._spread round-robins the raw doc rows across cores
+    # BEFORE the shingle fan-out (the fixture parquet is one split, which
+    # serialized the whole signature stage on one core).  That exchange
+    # carries only (doc_id, text) pre-explode rows and is excluded from the
+    # structural pin below; at most one such spread exchange may appear.
+    spread = [ln for ln in all_shuffles if "roundrobinpartitioning" in ln.lower()]
+    assert len(spread) <= 1, plan
+    shuffles = [ln for ln in all_shuffles if ln not in spread]
     # exactly three shuffles: per-doc minima groupBy (doc_id), ONE (band,
     # sig) exchange shared by the cap window AND the bucket groupBy, and the
     # final pair distinct (tiny: candidates only)
