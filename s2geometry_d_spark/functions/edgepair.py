@@ -19,6 +19,9 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+import pandas as pd
+
 from . import edgedist
 
 # edge columns: first edge (ax..bz) = the TABLE edge; second (cx..dz) = the
@@ -157,6 +160,140 @@ def with_cell_dist2(df):
     DataFrame carrying (ax..bz, v0x..v3z, n0x..n3z)."""
     inters, expr = cell_dist2_parts()
     return _with_parts(df, inters, expr)
+
+
+def _point_edge_dist2_np(qx, qy, qz, ax, ay, az, bx, by, bz):
+    """Vectorized numpy twin of edgedist.INTERMEDIATES + DIST2 — the SAME
+    IEEE operation tree, term for term and in the same association order,
+    so results are bit-identical to the SQL fragment (every op is a
+    correctly-rounded +,-,*,/ ,sqrt,max; no dot/norm library calls whose
+    summation order could differ)."""
+    import numpy as np
+
+    nx = ay * bz - az * by
+    ny = az * bx - ax * bz
+    nz = ax * by - ay * bx
+    nn = np.maximum(nx * nx + ny * ny + nz * nz, 1e-300)
+    qdn = qx * nx + qy * ny + qz * nz
+    qpx = qx - (qdn / nn) * nx
+    qpy = qy - (qdn / nn) * ny
+    qpz = qz - (qdn / nn) * nz
+    darc = 2e0 - 2e0 * np.sqrt(np.maximum(0e0, 1e0 - qdn * qdn / nn))
+    c1 = qpx * (ny * az - nz * ay) + qpy * (nz * ax - nx * az) + qpz * (nx * ay - ny * ax)
+    c2 = qpx * (by * nz - bz * ny) + qpy * (bz * nx - bx * nz) + qpz * (bx * ny - by * nx)
+    d_a = (qx - ax) * (qx - ax) + (qy - ay) * (qy - ay) + (qz - az) * (qz - az)
+    d_b = (qx - bx) * (qx - bx) + (qy - by) * (qy - by) + (qz - bz) * (qz - bz)
+    return np.where(
+        (nn > 1e-60) & (c1 >= 0) & (c2 >= 0), darc, np.minimum(d_a, d_b)
+    )
+
+
+def _pair_dist2_np(ax, ay, az, bx, by, bz, cx, cy, cz, dx, dy, dz):
+    """Numpy twin of _pair_parts: edge-pair min squared chord, same IEEE
+    tree as the SQL (crossing dets included)."""
+    import numpy as np
+
+    p1 = _point_edge_dist2_np(ax, ay, az, cx, cy, cz, dx, dy, dz)
+    p2 = _point_edge_dist2_np(bx, by, bz, cx, cy, cz, dx, dy, dz)
+    p3 = _point_edge_dist2_np(cx, cy, cz, ax, ay, az, bx, by, bz)
+    p4 = _point_edge_dist2_np(dx, dy, dz, ax, ay, az, bx, by, bz)
+    n1x = ay * bz - az * by
+    n1y = az * bx - ax * bz
+    n1z = ax * by - ay * bx
+    n2x = cy * dz - cz * dy
+    n2y = cz * dx - cx * dz
+    n2z = cx * dy - cy * dx
+    d1 = n1x * cx + n1y * cy + n1z * cz
+    d2 = n1x * dx + n1y * dy + n1z * dz
+    d3 = n2x * ax + n2y * ay + n2z * az
+    d4 = n2x * bx + n2y * by + n2z * bz
+    least = np.minimum(np.minimum(p1, p2), np.minimum(p3, p4))
+    return np.where((d1 * d2 < 0) & (d1 * d3 < 0) & (d1 * d4 > 0), 0e0, least)
+
+
+def cell_dist2_np(ax, ay, az, bx, by, bz, verts, norms):
+    """Numpy twin of cell_dist2_parts for ONE cell target: table-edge
+    arrays against the cell's 4 vertices/4 inward normals (python floats).
+    Bit-identical to the SQL fragment by construction (same op tree)."""
+    import numpy as np
+
+    dists = None
+    for k in range(4):
+        vx, vy, vz = verts[k]
+        wx, wy, wz = verts[(k + 1) % 4]
+        pk = _pair_dist2_np(ax, ay, az, bx, by, bz, vx, vy, vz, wx, wy, wz)
+        dists = pk if dists is None else np.minimum(dists, pk)
+
+    def inside(px, py, pz):
+        ok = None
+        for k in range(4):
+            nx_, ny_, nz_ = norms[k]
+            t = px * nx_ + py * ny_ + pz * nz_ >= 0e0
+            ok = t if ok is None else (ok & t)
+        return ok
+
+    return np.where(
+        inside(ax, ay, az) | inside(bx, by, bz), 0e0, dists
+    )
+
+
+def pair_dist2_udf():
+    """(ax..bz, cx..dz) -> dist2 pandas UDF — the vectorized numpy twin of
+    with_pair_dist2 (bit-identical IEEE tree, see _pair_dist2_np).  Used
+    where the 62-intermediate SQL projection's Catalyst analysis and
+    codegen dominate the round wall time; both join sides stay DataFrames
+    (no geometry in the closure), so it scales like any Arrow kernel."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def score(
+        ax: pd.Series, ay: pd.Series, az: pd.Series,
+        bx: pd.Series, by: pd.Series, bz: pd.Series,
+        cx: pd.Series, cy: pd.Series, cz: pd.Series,
+        dx: pd.Series, dy: pd.Series, dz: pd.Series,
+    ) -> pd.Series:
+        args = [
+            s.to_numpy(dtype=np.float64)
+            for s in (ax, ay, az, bx, by, bz, cx, cy, cz, dx, dy, dz)
+        ]
+        return pd.Series(_pair_dist2_np(*args))
+
+    return score
+
+
+def cell_dist2_udf(geom: dict):
+    """(query_id, ax..bz) -> dist2 pandas UDF scoring edge rows against the
+    per-query CELL geometry held in the closure; ``geom`` maps query_id ->
+    (verts, norms).  This replaces the 992-intermediate SQL projection in
+    the cell-target kNN ring: the giant fused expression failed whole-stage
+    codegen (janino 64KB-class error, observed live) and fell back to
+    interpreted evaluation, and its Catalyst analysis alone cost seconds
+    per round.  The numpy twin is bit-identical (see cell_dist2_np) and
+    turns the round plan into one small ArrowEvalPython node."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def score(
+        query_id: pd.Series,
+        ax: pd.Series, ay: pd.Series, az: pd.Series,
+        bx: pd.Series, by: pd.Series, bz: pd.Series,
+    ) -> pd.Series:
+        A = [s.to_numpy(dtype=np.float64) for s in (ax, ay, az, bx, by, bz)]
+        out = np.zeros(len(query_id), dtype=np.float64)
+        for qid in query_id.unique():
+            g = geom.get(qid)
+            if g is None:
+                continue
+            verts, norms = g
+            m = (query_id == qid).to_numpy()
+            out[m] = cell_dist2_np(*[c[m] for c in A], verts, norms)
+        return pd.Series(out)
+
+    return score
 
 
 def pair_dist2_select_sql(inner: str, keep: str) -> str:

@@ -122,6 +122,39 @@ def knn_join(
 
     pending = {qid: (lat, lng) for qid, lat, lng in queries}
     radius = {qid: initial_radius_deg for qid in pending}
+
+    # region-aware ring seeding (Cap regions): every result lies inside the
+    # cap, so rings smaller than dist(query, cap) provably find nothing —
+    # start at that distance instead of doubling up to it from
+    # initial_radius_deg (a far query otherwise burned all max_rounds and
+    # fell through to the brute scan).  Dually, once the ring covers the
+    # WHOLE cap (radius >= dist(query, center) + cap angle, so by the
+    # triangle inequality every in-region point is a candidate and passes
+    # the r2 filter), the round's answer is complete even with < k rows —
+    # retire the query instead of doubling further.  Acceptance stays the
+    # exact dist2 <= r2 filter, so this only changes WHEN rings run, never
+    # what they return.
+    region_far: dict | None = None
+    if region is not None and isinstance(region, Cap):
+        from ..s2core.regions import chord2_to_radians
+
+        cx, cy, cz = region.center
+        cap_ang = math.degrees(chord2_to_radians(region.radius2))
+        region_far = {}
+        for qid, (lat, lng) in pending.items():
+            px, py, pz = q_xyz(qid, lat, lng)
+            dot = max(-1.0, min(1.0, px * cx + py * cy + pz * cz))
+            ang = math.degrees(math.acos(dot))
+            gap = ang - cap_ang
+            if gap > initial_radius_deg:
+                radius[qid] = min(gap + initial_radius_deg, max_r)
+            # pad absorbs the trig ulps in ang/cap_ang; when the bound
+            # exceeds the ring clamp the certification is unavailable
+            # (antipodal-gap points could be missed) — keep the brute
+            # fallback for that query by leaving the bound infinite
+            far = ang + cap_ang + 1e-6
+            region_far[qid] = far if far <= max_r else float("inf")
+
     done_rows: list = []
     topk_schema = None
     brute: dict = {}
@@ -178,6 +211,13 @@ def knn_join(
             if len(got) >= k:
                 done_rows.extend(got)
                 del pending[qid]
+            elif region_far is not None and radius[qid] >= region_far[qid]:
+                # the ring covered the whole region cap: every in-region
+                # point was a candidate and passed the r2 filter, so < k
+                # rows IS the complete answer (the region simply holds
+                # fewer than k points near enough)
+                done_rows.extend(got)
+                del pending[qid]
             elif radius[qid] >= max_r:
                 if max_distance_deg is not None:
                     # a distance limit makes <k results a complete answer
@@ -189,7 +229,11 @@ def knn_join(
                     # brute force rather than accept an incomplete top-k
                     brute[qid] = pending.pop(qid)
             else:
-                radius[qid] = radius[qid] * 2.0
+                nr = radius[qid] * 2.0
+                if region_far is not None:
+                    # no point growing past "whole region covered"
+                    nr = min(nr, region_far[qid])
+                radius[qid] = nr
 
     pending.update(brute)
     results = (
@@ -657,14 +701,28 @@ def knn_edges_to_edges(
         d = latlng_point(lb, lnb)
         geom[qid] = (c, d, Polyline.from_latlngs([(la, ln), (lb, lnb)]))
 
+    # numpy pair scorer (bit-identical twin of the SQL fragment, see
+    # edgepair._pair_dist2_np): the 62-intermediate SQL projection paid
+    # seconds of Catalyst analysis per ring round; the endpoint xyz stays
+    # in SQL so the trig path is unchanged
+    pair_udf = edgepair.pair_dist2_udf()
+
     def _score(cand: DataFrame, qdf: DataFrame) -> DataFrame:
         cand = cand.join(F.broadcast(qdf), "query_id")
-        for expr in edgedist.xyz_exprs("alat", "alng", "a"):
-            cand = cand.selectExpr("*", expr)
-        for expr in edgedist.xyz_exprs("blat", "blng", "b"):
-            cand = cand.selectExpr("*", expr)
-        scored = edgepair.with_pair_dist2(cand)
-        return scored.drop("ax", "ay", "az", "bx", "by", "bz")
+        cand = cand.selectExpr(
+            "*",
+            *edgedist.xyz_exprs("alat", "alng", "a"),
+            *edgedist.xyz_exprs("blat", "blng", "b"),
+        )
+        return cand.withColumn(
+            "dist2",
+            pair_udf(
+                F.col("ax"), F.col("ay"), F.col("az"),
+                F.col("bx"), F.col("by"), F.col("bz"),
+                F.col("cx"), F.col("cy"), F.col("cz"),
+                F.col("dx"), F.col("dy"), F.col("dz"),
+            ),
+        ).drop("ax", "ay", "az", "bx", "by", "bz")
 
     pending = dict(geom)
     radius = {qid: initial_radius_deg for qid in pending}
@@ -807,19 +865,33 @@ def knn_edges_to_cells(
         la, ln = xyz_to_latlng(*center)
         geom[qid] = (float(la), float(ln), circ, verts, norms)
 
+    # numpy scorer with the per-query cell geometry in the closure: the SQL
+    # form of this fragment (4 pair instances = 992 intermediates) failed
+    # whole-stage codegen (janino class-size error) and fell back to
+    # interpreted evaluation, and its Catalyst analysis alone cost seconds
+    # per ring round.  cell_dist2_np is the bit-identical IEEE twin
+    # (verified element-for-element against the SQL path), the endpoint
+    # xyz stays in SQL so the trig library is unchanged, and the round
+    # plan shrinks to one ArrowEvalPython over the candidate rows.
+    score_udf = edgepair.cell_dist2_udf(
+        {qid: (verts, norms) for qid, (_, _, _, verts, norms) in geom.items()}
+    )
+
     def _score(cand: DataFrame, qdf: DataFrame) -> DataFrame:
         cand = cand.join(F.broadcast(qdf), "query_id")
-        for expr in edgedist.xyz_exprs("alat", "alng", "a"):
-            cand = cand.selectExpr("*", expr)
-        for expr in edgedist.xyz_exprs("blat", "blng", "b"):
-            cand = cand.selectExpr("*", expr)
-        return edgepair.with_cell_dist2(cand).drop(
-            "ax", "ay", "az", "bx", "by", "bz"
+        cand = cand.selectExpr(
+            "*",
+            *edgedist.xyz_exprs("alat", "alng", "a"),
+            *edgedist.xyz_exprs("blat", "blng", "b"),
         )
-
-    vn_cols = [f"v{kk}{ax}" for kk in range(4) for ax in ("x", "y", "z")] + [
-        f"n{kk}{ax}" for kk in range(4) for ax in ("x", "y", "z")
-    ]
+        return cand.withColumn(
+            "dist2",
+            score_udf(
+                F.col("query_id"),
+                F.col("ax"), F.col("ay"), F.col("az"),
+                F.col("bx"), F.col("by"), F.col("bz"),
+            ),
+        ).drop("ax", "ay", "az", "bx", "by", "bz")
 
     pending = dict(geom)
     radius = {qid: initial_radius_deg for qid in pending}
@@ -837,14 +909,7 @@ def knn_edges_to_cells(
             regions.append(
                 (qid, Cap.from_latlng_radius(la, ln, min(circ + ring, 179.0)))
             )
-            qrows.append(
-                (
-                    qid,
-                    *[c for v in verts for c in v],
-                    *[c for n in norms for c in n],
-                    chord2_from_radians(math.radians(ring)),
-                )
-            )
+            qrows.append((qid, chord2_from_radians(math.radians(ring))))
         coverings = compute_coverings(regions, max_cells=24)
         cand = candidate_match_kernel(
             registered, coverings, cell_col="ecell", two_way=True
@@ -852,7 +917,7 @@ def knn_edges_to_cells(
         cand = cand.withColumnRenamed("region_id", "query_id").dropDuplicates(
             ["query_id", edge_id_col]
         )
-        qdf = spark.createDataFrame(qrows, ["query_id", *vn_cols, "r2"])
+        qdf = spark.createDataFrame(qrows, ["query_id", "r2"])
         scored = _score(cand, qdf).filter(F.col("dist2") <= F.col("r2"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist2").asc(), F.col(edge_id_col).asc()
@@ -860,7 +925,7 @@ def knn_edges_to_cells(
         topk = (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .drop(*vn_cols, "r2")
+            .drop("r2")
         )
         rows = topk.collect()
         topk_schema = topk.schema
@@ -889,19 +954,21 @@ def knn_edges_to_cells(
     )
 
     if pending:
-        qrows = [
-            (
-                qid,
-                *[c for v in verts for c in v],
-                *[c for n in norms for c in n],
-            )
-            for qid, (_, _, _, verts, norms) in pending.items()
-        ]
-        qdf = spark.createDataFrame(qrows, ["query_id", *vn_cols])
-        cand = edges_df.crossJoin(
-            F.broadcast(spark.createDataFrame([(q,) for q in pending], ["query_id"]))
+        qdf = spark.createDataFrame([(q,) for q in pending], ["query_id"])
+        cand = edges_df.crossJoin(F.broadcast(qdf))
+        cand = cand.selectExpr(
+            "*",
+            *edgedist.xyz_exprs("alat", "alng", "a"),
+            *edgedist.xyz_exprs("blat", "blng", "b"),
         )
-        scored = _score(cand, qdf)
+        scored = cand.withColumn(
+            "dist2",
+            score_udf(
+                F.col("query_id"),
+                F.col("ax"), F.col("ay"), F.col("az"),
+                F.col("bx"), F.col("by"), F.col("bz"),
+            ),
+        ).drop("ax", "ay", "az", "bx", "by", "bz")
         if max_distance_deg is not None:
             scored = scored.filter(
                 F.col("dist2")
@@ -910,10 +977,8 @@ def knn_edges_to_cells(
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist2").asc(), F.col(edge_id_col).asc()
         )
-        topk = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .drop(*vn_cols)
+        topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
         )
         results = topk if results is None else results.unionByName(topk)
 
@@ -982,9 +1047,15 @@ def knn_edges_join_tables(
             )
         ).collect()[0]
         jl = int(jl_row[0])
+        # candidate rows CARRY the index-edge endpoints from the registered
+        # table (one persisted artifact) — the old shape joined candidates
+        # back to a separate checkpointed idx_xyz table on edge_id every
+        # round, a full index-sized shuffle join that the numpy scorer
+        # makes unnecessary (there is no 62-intermediate expression tree
+        # left for CollapseProject to blow up)
         keyed_idx = registered.withColumn(
             "_jk", kernels.parent_signed(F.col("ecell"), jl)
-        ).select("_jk", "ecell", edge_id_col)
+        ).select("_jk", edge_id_col, "alat", "alng", "blat", "blng")
 
         q = query_edges_df.select(
             F.col(query_id_col).alias("query_id"),
@@ -996,21 +1067,10 @@ def knn_edges_join_tables(
         idx_geom = index_edges_df.select(
             edge_id_col, "alat", "alng", "blat", "blng"
         )
-        # xyz endpoints are materialized ONCE as plain columns on both sides
-        # (a narrow map-only projection).  Leaving them as trig EXPRESSIONS
-        # makes CollapseProject substitute them into all 62 scoring
-        # intermediates and Catalyst's commutative-expression canonicalization
-        # (cache lookup against the persisted registration) then blows the
-        # driver heap — observed even on an 800-edge fixture.
         q_xyz = q.selectExpr(
             "query_id",
             *edgedist.xyz_exprs("qalat", "qalng", "c"),
             *edgedist.xyz_exprs("qblat", "qblng", "d"),
-        ).localCheckpoint(eager=True)
-        idx_xyz = idx_geom.selectExpr(
-            edge_id_col,
-            *edgedist.xyz_exprs("alat", "alng", "a"),
-            *edgedist.xyz_exprs("blat", "blng", "b"),
         ).localCheckpoint(eager=True)
 
         buffer_cells = edge_buffer_cells_udf()
@@ -1019,20 +1079,54 @@ def knn_edges_join_tables(
             / F.lit(2.0)
         ).cast("int")
 
+        # numpy pair scorer (bit-identical SQL twin, edgepair._pair_dist2_np)
+        # — replaces the 62-intermediate projection whose analysis cost
+        # motivated the constraint-propagation toggle above; xyz endpoints
+        # remain SQL-computed checkpointed columns
+        pair_udf = edgepair.pair_dist2_udf()
+
         def _score(cand: DataFrame) -> DataFrame:
-            cand = cand.join(q_xyz, "query_id").join(idx_xyz, edge_id_col)
-            scored = edgepair.with_pair_dist2(cand)
+            # cand carries (query_id, edge_id, alat..blng); the query xyz
+            # rides in via a broadcast of the (small) checkpointed q_xyz,
+            # the index xyz is computed inline (same SQL trig exprs —
+            # bit-identical to a precomputed column)
+            cand = cand.join(bc_q(q_xyz), "query_id").selectExpr(
+                "*",
+                *edgedist.xyz_exprs("alat", "alng", "a"),
+                *edgedist.xyz_exprs("blat", "blng", "b"),
+            )
+            scored = cand.withColumn(
+                "dist2",
+                pair_udf(
+                    F.col("ax"), F.col("ay"), F.col("az"),
+                    F.col("bx"), F.col("by"), F.col("bz"),
+                    F.col("cx"), F.col("cy"), F.col("cz"),
+                    F.col("dx"), F.col("dy"), F.col("dz"),
+                ),
+            )
             return scored.select("query_id", edge_id_col, "dist2")
 
-        # each round's pending/topk are localCheckpoint'ed (eager): the
-        # anti-join of round t otherwise NESTS round t-1's full 62-intermediate
-        # scoring plan, and the analyzed tree grows exponentially with rounds
-        # (observed as a driver-side Catalyst OOM, not an executor problem)
+        # each round's pending/topk are localCheckpoint'ed: the anti-join of
+        # round t otherwise NESTS round t-1's full scoring plan, and the
+        # analyzed tree grows exponentially with rounds (observed as a
+        # driver-side Catalyst OOM, not an executor problem).  pending is
+        # checkpointed LAZILY — the next round's coarse-level collect (or
+        # the straggler probe) materializes it, saving one job per round.
         pending = q.localCheckpoint(eager=True)
+        # strategy chooser: with a broadcast-sized query side, the per-round
+        # buffer-cell frames hash map-side against the big registered index
+        # (no index shuffle, no exchange cascade); a larger-than-broadcast
+        # query table keeps the shuffle joins
+        n_q = pending.count()
+        bc_q = F.broadcast if n_q <= 100_000 else (lambda df: df)
         results = None
         radius = initial_radius_deg
         for _ in range(max_rounds):
             r2 = chord2_from_radians(math.radians(min(radius, 170.0)))
+            # ONE evaluation of the buffer-cell kernel per round: the frame
+            # feeds the fine join, the coarse-level collect and the
+            # per-level joins, so checkpoint it (lazily — the coarse-level
+            # collect below materializes it)
             cells = pending.select(
                 "query_id",
                 F.explode(
@@ -1046,12 +1140,8 @@ def knn_edges_join_tables(
                         )
                     )
                 ).alias("qcell"),
-            ).withColumn("_ql", qlvl)
+            ).withColumn("_ql", qlvl).localCheckpoint(eager=False)
 
-            fine = cells.filter(F.col("_ql") >= jl).withColumn(
-                "_jk", kernels.parent_signed(F.col("qcell"), jl)
-            )
-            cand = fine.join(keyed_idx, "_jk").select("query_id", edge_id_col)
             coarse_levels = [
                 int(r["_ql"])
                 for r in cells.filter(F.col("_ql") < jl)
@@ -1059,16 +1149,24 @@ def knn_edges_join_tables(
                 .distinct()
                 .collect()
             ]
+            fine = cells.filter(F.col("_ql") >= jl).withColumn(
+                "_jk", kernels.parent_signed(F.col("qcell"), jl)
+            )
+            cand = keyed_idx.join(bc_q(fine), "_jk").select(
+                "query_id", edge_id_col, "alat", "alng", "blat", "blng"
+            )
             for lvl in coarse_levels:
                 cj = (
-                    cells.filter(F.col("_ql") == lvl)
-                    .join(
-                        registered.withColumn(
-                            "qcell", kernels.parent_signed(F.col("ecell"), lvl)
-                        ).select("qcell", edge_id_col),
-                        "qcell",
+                    registered.withColumn(
+                        "qcell", kernels.parent_signed(F.col("ecell"), lvl)
                     )
-                    .select("query_id", edge_id_col)
+                    .select(
+                        "qcell", edge_id_col, "alat", "alng", "blat", "blng"
+                    )
+                    .join(bc_q(cells.filter(F.col("_ql") == lvl)), "qcell")
+                    .select(
+                        "query_id", edge_id_col, "alat", "alng", "blat", "blng"
+                    )
                 )
                 cand = cand.unionByName(cj)
             cand = cand.dropDuplicates(["query_id", edge_id_col])
@@ -1092,16 +1190,16 @@ def knn_edges_join_tables(
             )
             finished = topk.join(done_q, "query_id", "left_semi")
             results = finished if results is None else results.unionByName(finished)
-            pending = pending.join(done_q, "query_id", "left_anti").localCheckpoint(
-                eager=True
-            )
+            pending = pending.join(
+                bc_q(done_q), "query_id", "left_anti"
+            ).localCheckpoint(eager=False)
             radius *= 2.0
             if radius > 180.0 * 2:
                 break
 
         # stragglers: broadcast the (small) remainder against the full index
         if pending.limit(1).count() > 0:
-            cand = pending.select("query_id").crossJoin(idx_geom.select(edge_id_col))
+            cand = pending.select("query_id").crossJoin(idx_geom)
             scored = _score(cand)
             w = Window.partitionBy("query_id").orderBy(
                 F.col("dist2").asc(), F.col(edge_id_col).asc()

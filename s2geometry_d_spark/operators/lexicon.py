@@ -39,6 +39,15 @@ def value_lexicon(
     the join is null-safe, so NULL-valued rows keep their id instead of
     silently vanishing from encoded_df (a plain equi-join never matches
     NULL keys)."""
+    if id_col in df.columns:
+        raise ValueError(
+            f"value_lexicon: input already has a column named {id_col!r}"
+        )
+    # collision-proof temp name for the broadcast join key (a pre-existing
+    # '_lex_val' column would silently duplicate through the rename/drop)
+    tmp = "_lex_val"
+    while tmp in df.columns:
+        tmp += "_"
     lex = (
         df.select(value_col)
         .distinct()
@@ -47,10 +56,10 @@ def value_lexicon(
             (F.row_number().over(Window.orderBy(value_col)) - 1).cast("int"),
         )
     )
-    lx = lex.withColumnRenamed(value_col, "_lex_val")
+    lx = lex.withColumnRenamed(value_col, tmp)
     encoded = df.join(
-        F.broadcast(lx), F.col(value_col).eqNullSafe(F.col("_lex_val"))
-    ).drop("_lex_val")
+        F.broadcast(lx), F.col(value_col).eqNullSafe(F.col(tmp))
+    ).drop(tmp)
     return encoded, lex
 
 
@@ -83,4 +92,11 @@ def id_set_lexicon(
     sets = pairs.groupBy(group_col).agg(
         F.sort_array(F.collect_set(value_col)).alias(set_col)
     )
+    # materialize the normalized per-group sets ONCE: sequence_lexicon
+    # consumes ``sets`` twice (the distinct/rank branch AND the encoded
+    # broadcast-join branch), and without a checkpoint each branch
+    # re-evaluates the whole upstream pairs lineage — for the PIP-membership
+    # use case that is a second full covering-join pass.  On a cluster this
+    # intermediate is exactly what would land in a table between stages.
+    sets = sets.localCheckpoint(eager=True)
     return sequence_lexicon(sets, set_col, id_col)

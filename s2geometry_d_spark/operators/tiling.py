@@ -337,7 +337,15 @@ def tile_containment_check(
     # the lineage so every branch reads the cached blocks — on a cluster a
     # verification gate of this shape would land in a table/snapshot anyway
     # (streaming/checkpoint.py's run_stage pattern).
-    per_tile = per_tile.localCheckpoint(eager=True)
+    #
+    # Round 6: spread the checkpoint across the executor cores first.  AQE
+    # coalesces the upstream aggregate to very few partitions (the 80k-row
+    # tile table is only ~tens of MB), but the DOWNSTREAM stage fans out
+    # 81 probes/tile through the cell kernel — 6.5M kernel rows inherit the
+    # coalesced partitioning and run near-serially without this.  The
+    # repartition moves only the tiny per-tile rows, never the probe rows.
+    n_parts = per_tile.sparkSession.sparkContext.defaultParallelism
+    per_tile = per_tile.repartition(n_parts).localCheckpoint(eager=True)
     attrs = images.select(id_col, lat_col, lng_col, extent_col)
     t = _tile_bounds(per_tile.join(attrs, id_col), lat_col, lng_col, extent_col)
 
