@@ -322,30 +322,46 @@ def _q_index_region_check(spark, sf_dir):
     from s2geometry_d_spark.operators.shape_index import points_in_shapes
 
     idx, jl = _unified_index(spark, sf_dir)
-    pts = _points(spark, sf_dir).filter(F.col("point_id") % 10 == 0)
+    # lazy localCheckpoints at every fan-out frame: the final plan consumes
+    # pts twice (ancestor explode + PIP), ptsL twice (targets + the match
+    # join) and targets four times (fine/coarse/out-join inside
+    # cells_region_relation + the relation output) — as plain Datasets each
+    # consumer re-evaluated the whole scan+cell-kernel lineage (measured
+    # 13.7s for the assembled query vs ~4s of unique work); checkpointed
+    # RDDs are SHARED nodes in the physical DAG, so each computes once.
+    # All three frames are decimation-sized (15k/45k/32k rows).
+    pts = (
+        _points(spark, sf_dir)
+        .filter(F.col("point_id") % 10 == 0)
+        .localCheckpoint(eager=False)
+    )
     levels = [4, 8, 12]
 
     # ONE pass: (point, level, ancestor-cell) via a 3-wide explode — every
     # downstream stage (relation, match join, per-level aggregate) runs
     # once over the union instead of once per level
-    ptsL = pts.select(
-        "point_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(lvl).alias("level"),
-                        kernels.parent_signed(F.col("cell_id"), lvl).alias(
-                            "tcell"
-                        ),
-                    )
-                    for lvl in levels
-                ]
-            )
-        ).alias("lt"),
-    ).select("point_id", "lt.level", "lt.tcell")
+    ptsL = (
+        pts.select(
+            "point_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lvl).alias("level"),
+                            kernels.parent_signed(F.col("cell_id"), lvl).alias(
+                                "tcell"
+                            ),
+                        )
+                        for lvl in levels
+                    ]
+                )
+            ).alias("lt"),
+        )
+        .select("point_id", "lt.level", "lt.tcell")
+        .localCheckpoint(eager=False)
+    )
 
-    targets = ptsL.select("tcell", "level").distinct()
+    targets = ptsL.select("tcell", "level").distinct().localCheckpoint(eager=False)
     rel = cells_region_relation(targets, idx, join_level=jl, broadcast_index=True)
 
     matched = (
@@ -1508,7 +1524,13 @@ def _q_id_set_lexicon(spark, sf_dir):
     joined-string order equals the array order the lexicon ranks by."""
     from s2geometry_d_spark.operators.lexicon import id_set_lexicon
 
-    pairs = _q_pip_many_poly(spark, sf_dir)
+    # membership pairs via the session-cached unified-index PIP: row-for-row
+    # identical to _q_pip_many_poly (shared oracle, both driver-hash-green —
+    # CORRECTNESS_r05), but the index-table path probes a persisted artifact
+    # (~1.0s steady state) where the driver-object path re-ran a 2.5s
+    # broadcast-kernel join and, in a fresh session, a ~20s one-time
+    # PolygonCellIndex build for the 1000 hexagons (measured round 6)
+    pairs = _q_pip_unified_index(spark, sf_dir)
     enc, _lex = id_set_lexicon(pairs, "point_id", "region_id")
     return enc.select(
         "point_id", F.concat_ws("|", F.col("id_set")).alias("regions"), "set_id"

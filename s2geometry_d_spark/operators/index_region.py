@@ -229,6 +229,11 @@ def cells_region_relation(
     from .poly_index import _pip_from_row_payload
 
     kern = cand.filter(c_sup & ~c_equal & ~F.col("is_interior") & (F.col("dim") >= 1))
+    # spread before the Python kernels: AQE coalesces this slice by BYTES
+    # (a few MB -> 2-3 partitions), but its cost is per-row kernel CPU —
+    # measured as one 2.4s 3-task stage serializing the whole query.  The
+    # repartition moves only the small boundary slice, never the targets.
+    kern = kern.repartition(kern.sparkSession.sparkContext.defaultParallelism)
     kern = kern.withColumn(
         "_edge_near", _edge_near_cell(F.col(cell_col), F.col("ea"), F.col("eb"))
     ).withColumn(

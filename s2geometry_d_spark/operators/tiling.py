@@ -310,11 +310,10 @@ def tile_containment_check(
         images, lat_col, lng_col, extent_col, id_col, known_extents
     )
     # ONE aggregation is the only consumer of the expensive tile_cells
-    # kernel subtree; every later branch (probe lattice, cell rows, probe
-    # counts) hangs BELOW this exchange, so Spark's ReuseExchange computes
-    # the assignment exactly once.  (Branching directly on the map-only
-    # subtree re-evaluated the kernel once per branch — measured 3x the
-    # whole check's cost in round 4.)
+    # kernel subtree; the whole check hangs BELOW this exchange, so the
+    # assignment kernel evaluates exactly once.  (Branching directly on the
+    # map-only subtree re-evaluated the kernel once per branch — measured 3x
+    # the whole check's cost in round 4.)
     lvl_of = (
         F.lit(30)
         - (
@@ -330,72 +329,54 @@ def tile_containment_check(
             F.collect_set("_lvl").alias("_lvls"),
         )
     )
-    # materialize ONCE: three consumers hang off this aggregate, and Spark's
-    # ReuseExchange does not deduplicate the identical subtrees here
-    # (verified round 4: the plan carried 6 copies of the tile_cells kernel;
-    # persist() races within a single action).  localCheckpoint truncates
-    # the lineage so every branch reads the cached blocks — on a cluster a
-    # verification gate of this shape would land in a table/snapshot anyway
-    # (streaming/checkpoint.py's run_stage pattern).
-    #
-    # Round 6: spread the checkpoint across the executor cores first.  AQE
-    # coalesces the upstream aggregate to very few partitions (the 80k-row
-    # tile table is only ~tens of MB), but the DOWNSTREAM stage fans out
-    # 81 probes/tile through the cell kernel — 6.5M kernel rows inherit the
-    # coalesced partitioning and run near-serially without this.  The
-    # repartition moves only the tiny per-tile rows, never the probe rows.
+    # Round 6 rewrite: the per-tile cell array RIDES THROUGH the 81x probe
+    # explode and coverage is an exists()/array_contains membership over it
+    # — pure codegen bit math on ~|cells-per-tile| longs per probe.  The old
+    # shape semi-joined 6.5M exploded probe-ancestor rows against 724k
+    # exploded cell rows and count-distinct'ed the hits: 3 extra exchanges
+    # over the check's biggest intermediate, all replaced by ONE map-side-
+    # combined aggregation (n_missed counted directly per tile).  per_tile
+    # now has a single consumer chain, so the round-4 localCheckpoint (then
+    # needed to stop 3 branches re-running the kernel) is obsolete; the
+    # repartition stays — AQE coalesces the 80k-row aggregate to very few
+    # partitions and the 81x fan-out + leaf kernel would inherit that near-
+    # serial layout (it moves only tiny per-tile rows, never probe rows).
     n_parts = per_tile.sparkSession.sparkContext.defaultParallelism
-    per_tile = per_tile.repartition(n_parts).localCheckpoint(eager=True)
+    per_tile = per_tile.repartition(n_parts)
     attrs = images.select(id_col, lat_col, lng_col, extent_col)
-    t = _tile_bounds(per_tile.join(attrs, id_col), lat_col, lng_col, extent_col)
+    # broadcast the per-image attrs explicitly: the planner's size estimate
+    # otherwise broadcasts the (bigger) per-tile side and the 81x fan-out +
+    # leaf kernel inherit the attrs scan's 1-partition layout, undoing the
+    # repartition above
+    t = _tile_bounds(
+        per_tile.join(F.broadcast(attrs), id_col), lat_col, lng_col, extent_col
+    )
 
     fr = [i / (probes_per_axis - 1) for i in range(probes_per_axis)]
     fr_arr = F.array(*[F.lit(float(f)) for f in fr])
-    # drop the cell array BEFORE the 81x probe explode (carrying it would
-    # materialize |probes| x |cells| longs); keep only the tiny level set
     probes = (
-        t.drop("_cells")
-        .withColumn("fx", F.explode(fr_arr))
+        t.withColumn("fx", F.explode(fr_arr))
         .withColumn("fy", F.explode(fr_arr))
         .withColumn("plat", F.col("lat0") + (F.col("lat1") - F.col("lat0")) * F.col("fy"))
         .withColumn("plng", F.col("lng0") + (F.col("lng1") - F.col("lng0")) * F.col("fx"))
         .withColumn("leaf", kernels.cell_from_latlng(F.col("plat"), F.col("plng")))
-        .select(id_col, "tile_x", "tile_y", "fx", "fy", "leaf", "_lvls")
+        .select(id_col, "tile_x", "tile_y", "leaf", "_cells", "_lvls")
     )
     # covered iff the leaf's ancestor at one of the tile's ACTUAL cell
-    # levels equals an assigned cell: a codegen equi-join on (tile, cell) —
-    # no interpreted exists(), no per-probe array duplication, and join
-    # output is only the actual matches
-    anc = F.expr(
-        "(leaf & -shiftleft(cast(1 as bigint), cast((30 - _lvl) * 2 as int)))"
-        " | shiftleft(cast(1 as bigint), cast((30 - _lvl) * 2 as int))"
-    )
-    panc = (
-        probes.withColumn("_lvl", F.explode("_lvls"))
-        .withColumn("_c", anc)
-        .select(id_col, "tile_x", "tile_y", "fx", "fy", "_c")
-    )
-    cells = per_tile.select(
-        id_col, "tile_x", "tile_y", F.explode("_cells").alias("_c")
-    )
-    hit = panc.join(cells, [id_col, "tile_x", "tile_y", "_c"], "left_semi")
-    # ONE aggregation (count-distinct probes per tile) instead of
-    # distinct() + groupBy().count() — halves the shuffles over the
-    # 81x-probe hit set, the check's biggest intermediate
-    covered = hit.groupBy(id_col, "tile_x", "tile_y").agg(
-        F.countDistinct("fx", "fy").alias("_n_cov")
-    )
-    # probe count needs no geometry: the lattice is a constant per tile
-    n_probes = per_tile.select(
-        id_col,
-        "tile_x",
-        "tile_y",
-        F.lit(probes_per_axis * probes_per_axis).alias("n_probes"),
+    # levels equals an assigned cell — the same (level, ancestor) relation
+    # the old equi-join evaluated, now as an in-row membership probe
+    covered = F.expr(
+        "exists(_lvls, l -> array_contains(_cells,"
+        " (leaf & -shiftleft(cast(1 as bigint), cast((30 - l) * 2 as int)))"
+        " | shiftleft(cast(1 as bigint), cast((30 - l) * 2 as int))))"
     )
     return (
-        n_probes.join(covered, [id_col, "tile_x", "tile_y"], "left")
-        .withColumn(
-            "n_missed", F.col("n_probes") - F.coalesce(F.col("_n_cov"), F.lit(0))
+        probes.withColumn("_cov", covered)
+        .groupBy(id_col, "tile_x", "tile_y")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_probes"),
+            # old shape's n_missed was int-minus-long => LongType; keep it
+            F.sum(F.when(F.col("_cov"), 0).otherwise(1)).alias("n_missed"),
         )
         .select(id_col, "tile_x", "tile_y", "n_probes", "n_missed")
     )
