@@ -1035,18 +1035,27 @@ def knn_edges_join_tables(
         registered = (
             registered_df if registered_df is not None else register_edges(index_edges_df)
         )
-        jl_row = registered.agg(
-            F.min(
-                F.lit(30)
-                - (
-                    F.log2(
-                        F.col("ecell").bitwiseAND(-F.col("ecell")).cast("double")
-                    )
-                    / F.lit(2.0)
-                ).cast("int")
-            )
-        ).collect()[0]
-        jl = int(jl_row[0])
+        # min registered level: one tiny aggregate — cached as an attribute
+        # on the (session-shared, persisted) registered DataFrame so repeat
+        # consumers skip the job (same trick as index_df._s2_min_cov_level)
+        jl = getattr(registered, "_s2_min_reg_level", None)
+        if jl is None:
+            jl_row = registered.agg(
+                F.min(
+                    F.lit(30)
+                    - (
+                        F.log2(
+                            F.col("ecell").bitwiseAND(-F.col("ecell")).cast("double")
+                        )
+                        / F.lit(2.0)
+                    ).cast("int")
+                )
+            ).collect()[0]
+            jl = int(jl_row[0])
+            try:
+                registered._s2_min_reg_level = jl
+            except AttributeError:
+                pass
         # candidate rows CARRY the index-edge endpoints from the registered
         # table (one persisted artifact) — the old shape joined candidates
         # back to a separate checkpointed idx_xyz table on edge_id every
@@ -1067,11 +1076,13 @@ def knn_edges_join_tables(
         idx_geom = index_edges_df.select(
             edge_id_col, "alat", "alng", "blat", "blng"
         )
+        # lazy: the first round's broadcast build materializes it (an eager
+        # checkpoint here was one extra pre-loop job per call)
         q_xyz = q.selectExpr(
             "query_id",
             *edgedist.xyz_exprs("qalat", "qalng", "c"),
             *edgedist.xyz_exprs("qblat", "qblng", "d"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
         buffer_cells = edge_buffer_cells_udf()
         qlvl = F.lit(30) - (
@@ -1120,6 +1131,7 @@ def knn_edges_join_tables(
         n_q = pending.count()
         bc_q = F.broadcast if n_q <= 100_000 else (lambda df: df)
         results = None
+        n_pending = n_q
         radius = initial_radius_deg
         for _ in range(max_rounds):
             r2 = chord2_from_radians(math.radians(min(radius, 170.0)))
@@ -1193,12 +1205,26 @@ def knn_edges_join_tables(
             pending = pending.join(
                 bc_q(done_q), "query_id", "left_anti"
             ).localCheckpoint(eager=False)
+            # one tiny count materializes the lazy checkpoint (the next
+            # round's coarse-level collect would have paid it anyway) and
+            # steers the loop: with NOTHING pending the loop used to burn
+            # every remaining round on empty frames (observed: 4 of 5
+            # rounds with 1-task jobs, half the query's wall time), and a
+            # straggler handful is cheaper as the one bounded broadcast
+            # probe below than as more ring rounds of fixed job overhead.
+            # The cutover bound scales with n_q, never with the index, so
+            # a large pending set keeps ringing (the 100 TB path).
+            n_pending = pending.count()
+            if n_pending == 0:
+                break
+            if n_pending <= max(16, n_q // 1000):
+                break
             radius *= 2.0
             if radius > 180.0 * 2:
                 break
 
         # stragglers: broadcast the (small) remainder against the full index
-        if pending.limit(1).count() > 0:
+        if n_pending > 0:
             cand = pending.select("query_id").crossJoin(idx_geom)
             scored = _score(cand)
             w = Window.partitionBy("query_id").orderBy(
