@@ -234,6 +234,19 @@ def knn_join(
                     # no point growing past "whole region covered"
                     nr = min(nr, region_far[qid])
                 radius[qid] = nr
+        # straggler cutover (see knn_edges_join): a leftover handful goes
+        # straight to the exact brute probe — identical results to more
+        # ring rounds (both exact), minus their fixed job overhead.  Gated
+        # on a scan-affordable point table via the hint; with a region set
+        # the brute side is the (checkpointed) in-region subset, smaller
+        # still.
+        if (
+            pending
+            and len(pending) <= max(2, len(queries) // 8)
+            and (n_points_hint or 100_000) <= 10_000_000
+        ):
+            brute.update(pending)
+            pending.clear()
 
     pending.update(brute)
     results = (
@@ -486,8 +499,16 @@ def knn_edges_join(
         cand = candidate_match_kernel(
             registered, coverings, cell_col="ecell", two_way=True
         ).drop("is_interior", "ecell")
-        cand = cand.withColumnRenamed("region_id", "query_id").dropDuplicates(
-            ["query_id", edge_id_col]
+        # ONE exchange for dedup + window: hash on query_id up front —
+        # HashPartitioning(query_id) satisfies the clustered distribution of
+        # BOTH the (query_id, edge_id) dedup aggregate (subset key) and the
+        # query_id window, so neither adds its own shuffle (the plain
+        # dropDuplicates shuffled on the pair key and the window re-shuffled
+        # on query_id: two exchanges per round over the candidate set)
+        cand = (
+            cand.withColumnRenamed("region_id", "query_id")
+            .repartition("query_id")
+            .dropDuplicates(["query_id", edge_id_col])
         )
 
         # acceptance radius widened by max_error (never past the distance
@@ -538,6 +559,19 @@ def knn_edges_join(
                     brute[qid] = pending.pop(qid)
             else:
                 radius[qid] = radius[qid] * 2.0
+        # straggler cutover: a leftover handful is cheaper as one exact
+        # brute probe than as more ring rounds of fixed job overhead (the
+        # brute branch below is the SAME code the post-max_rounds path
+        # runs, so results are identical — exact top-k either way).  Gated
+        # on a scan-affordable index (the hint), so a 100 TB edge table
+        # keeps ringing instead of paying a full scan for two queries.
+        if (
+            pending
+            and len(pending) <= max(2, len(queries) // 8)
+            and (n_edges_hint or 100_000) <= 10_000_000
+        ):
+            brute.update(pending)
+            pending.clear()
 
     pending.update(brute)
     results = (
@@ -752,8 +786,12 @@ def knn_edges_to_edges(
         cand = candidate_match_kernel(
             registered, coverings, cell_col="ecell", two_way=True
         ).drop("is_interior", "ecell")
-        cand = cand.withColumnRenamed("region_id", "query_id").dropDuplicates(
-            ["query_id", edge_id_col]
+        # one exchange for dedup + window (see knn_edges_join): hashing on
+        # query_id satisfies both downstream distributions
+        cand = (
+            cand.withColumnRenamed("region_id", "query_id")
+            .repartition("query_id")
+            .dropDuplicates(["query_id", edge_id_col])
         )
         qdf = spark.createDataFrame(
             qrows, ["query_id", "cx", "cy", "cz", "dx", "dy", "dz", "r2"]
@@ -914,8 +952,12 @@ def knn_edges_to_cells(
         cand = candidate_match_kernel(
             registered, coverings, cell_col="ecell", two_way=True
         ).drop("is_interior", "ecell")
-        cand = cand.withColumnRenamed("region_id", "query_id").dropDuplicates(
-            ["query_id", edge_id_col]
+        # one exchange for dedup + window (see knn_edges_join): hashing on
+        # query_id satisfies both downstream distributions
+        cand = (
+            cand.withColumnRenamed("region_id", "query_id")
+            .repartition("query_id")
+            .dropDuplicates(["query_id", edge_id_col])
         )
         qdf = spark.createDataFrame(qrows, ["query_id", "r2"])
         scored = _score(cand, qdf).filter(F.col("dist2") <= F.col("r2"))
@@ -1181,7 +1223,10 @@ def knn_edges_join_tables(
                     )
                 )
                 cand = cand.unionByName(cj)
-            cand = cand.dropDuplicates(["query_id", edge_id_col])
+            # one exchange for dedup + window (see knn_edges_join)
+            cand = cand.repartition("query_id").dropDuplicates(
+                ["query_id", edge_id_col]
+            )
 
             scored = _score(cand).filter(F.col("dist2") <= F.lit(r2))
             w = Window.partitionBy("query_id").orderBy(

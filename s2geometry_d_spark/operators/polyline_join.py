@@ -106,8 +106,14 @@ def nearest_polyline_join(
         cand = candidate_match_kernel(
             registered, coverings, cell_col="ecell", two_way=True
         ).drop("is_interior", "ecell")
-        cand = cand.withColumnRenamed("region_id", "query_id").dropDuplicates(
-            ["query_id", edge_id_col]
+        # ONE exchange for the whole round: hashing on query_id satisfies
+        # the (query, edge) dedup, the (query, polyline) min-aggregation
+        # AND the query window — none of the three re-shuffles (the plain
+        # dropDuplicates shape paid three exchanges over the candidates)
+        cand = (
+            cand.withColumnRenamed("region_id", "query_id")
+            .repartition("query_id")
+            .dropDuplicates(["query_id", edge_id_col])
         )
         qrows = [
             (
@@ -144,6 +150,16 @@ def nearest_polyline_join(
                     brute[qid] = pending.pop(qid)
             else:
                 radius[qid] = radius[qid] * 2.0
+        # straggler cutover (see knn_edges_join): a leftover handful goes
+        # straight to the exact brute probe instead of more ring rounds —
+        # identical results (both exact), gated on a scan-affordable table
+        if (
+            pending
+            and len(pending) <= max(2, len(queries) // 8)
+            and (n_polylines_hint or 1_000) <= 100_000
+        ):
+            brute.update(pending)
+            pending.clear()
 
     pending.update(brute)
     results = (
