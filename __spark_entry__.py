@@ -112,7 +112,13 @@ def release_caches(spark: SparkSession | None = None) -> int:
     number of DataFrames unpersisted."""
     app_id = spark.sparkContext.applicationId if spark is not None else None
     released = 0
-    for cache in (_EDGES_CACHE, _REGISTERED_CACHE, _REGISTERED_PL_CACHE, _POLY_INDEX_CACHE):
+    for cache in (
+        _EDGES_CACHE,
+        _REGISTERED_CACHE,
+        _REGISTERED_PL_CACHE,
+        _POLY_INDEX_CACHE,
+        _POLYLINE_EDGES_CACHE,
+    ):
         for key in list(cache):
             if app_id is not None and key[0] != app_id:
                 continue
@@ -535,19 +541,36 @@ def _q_knn_unified(spark, sf_dir):
 _POLYLINE_CHAIN = 100  # consecutive fixture edges per polyline
 
 
+_POLYLINE_EDGES_CACHE: dict = {}
+
+
 def _polyline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polyline TABLE fixture: consecutive fixture edges chained into
     polylines of _POLYLINE_CHAIN edges each (SQL-reproducible numbering:
-    row_number over the a-endpoint's original sort key)."""
+    row_number over the a-endpoint's original sort key).  Session-cached
+    and persisted like ``_edges``: the global row_number is a single-
+    partition sort of the whole edge table, and without the cache every
+    consumer (clip walk, polyline kNN brute side, within-distance) re-ran
+    it per action."""
     from pyspark.sql import Window as W
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _POLYLINE_EDGES_CACHE.get(key)
+    if cached is not None:
+        return cached
     e = _edges(spark, sf_dir)
     w = W.orderBy(F.floor("alat"), F.col("alng"), F.col("edge_id"))
     rn = F.row_number().over(w)
-    return e.withColumn("seq", rn).withColumn(
-        "polyline_id",
-        F.floor((rn - 1) / _POLYLINE_CHAIN).cast("long"),
+    df = (
+        e.withColumn("seq", rn)
+        .withColumn(
+            "polyline_id",
+            F.floor((rn - 1) / _POLYLINE_CHAIN).cast("long"),
+        )
+        .persist()
     )
+    _POLYLINE_EDGES_CACHE[key] = df
+    return df
 
 
 def _q_nearest_polyline(spark, sf_dir):

@@ -26,11 +26,28 @@ from ..s2core.regions import Cap, chord2_between, normalize
 from .spatial_join import RegionCovering, candidate_match_kernel
 
 
-def _edge_cap_cells(a, b) -> list[tuple[int, bool]]:
-    mid = normalize((a[0] + b[0], a[1] + b[1], a[2] + b[2]))
-    r2 = max(chord2_between(mid, a), chord2_between(mid, b))
-    cap = Cap(mid, r2 * (1.0 + 1e-12) + 1e-15)
-    return [(c.id, False) for c in cap.cell_union_bound()]
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _edge_cap_cells(la, ln, lb, lnb) -> list[tuple[int, bool]]:
+    """Tight covering of the target edge ITSELF (<= 24 cells hugging the
+    line, via the buffered-polyline coverer the edge-kNN rounds use) rather
+    than its bounding cap's <= 4-cell union bound.  Completeness argument
+    is unchanged — any crossing point lies ON the target edge, hence inside
+    this covering AND inside a (conservative) registered cell of the data
+    edge, and nested cells meet in the two-way probe (the 1e-9 rad buffer
+    absorbs the lat/lng->xyz ulps).  The cap bound made every LONG route
+    segment's covering a handful of huge cells: measured 647k candidate
+    rows for 41 targets at sf0.1 (167 true crossings), with the crossing
+    kernel's cost proportional to that over-generation."""
+    from ..s2core.coverer import CovererOptions, RegionCoverer
+    from ..s2core.polyline import BufferedRegion, Polyline
+
+    pl = Polyline.from_latlngs([(float(la), float(ln)), (float(lb), float(lnb))])
+    region = BufferedRegion(pl, 1e-9)
+    coverer = RegionCoverer(CovererOptions(max_cells=24))
+    return [(cid, False) for cid in coverer.get_covering(region)]
 
 
 def _crossing_udf(targets: dict[str, tuple[tuple, tuple]]):
@@ -91,15 +108,19 @@ def crossing_edges_join(
         a = latlng_point(la, ln)
         b = latlng_point(lb, lnb)
         payload[tid] = (a, b)
-        coverings.append(RegionCovering(tid, None, _edge_cap_cells(a, b)))
+        coverings.append(RegionCovering(tid, None, _edge_cap_cells(la, ln, lb, lnb)))
 
     cand = candidate_match_kernel(
         registered, coverings, cell_col="ecell", two_way=True
     ).drop("is_interior", "ecell")
-    cand = cand.withColumnRenamed("region_id", "target_id").dropDuplicates(
-        ["target_id", edge_id_col]
-    )
+    cand = cand.withColumnRenamed("region_id", "target_id")
     crosses = _crossing_udf(payload)
+    # dedup AFTER the crossing kernel: an edge meeting a target covering
+    # through several registered cells duplicates its candidate row, but
+    # scoring a duplicate is one cheap vectorized row while deduping first
+    # shuffled the WHOLE candidate set (full edge rows) before the filter —
+    # this way the plan is map-only (persisted index scan -> kernel ->
+    # filter) plus one exchange over just the surviving crossings
     return cand.filter(
         crosses(
             F.col("target_id"),
@@ -108,7 +129,7 @@ def crossing_edges_join(
             F.col("blat"),
             F.col("blng"),
         )
-    )
+    ).dropDuplicates(["target_id", edge_id_col])
 
 
 def _pair_crossing_udf(crossing_type: str = "interior"):

@@ -103,14 +103,18 @@ def within_distance_polyline(
         for i in range(len(waypoints) - 1)
     ]
     edges = spark.createDataFrame(edge_rows, ["alat", "alng", "blat", "blng"])
+    # xyz BEFORE the fan-out: the query trig runs once per candidate (not
+    # once per candidate x edge) and the edge trig once per edge row — same
+    # SQL expressions, same engine, bit-identical values, ~|edges|x less
+    # trig in the scoring stage
+    edges = edges.selectExpr(
+        "*",
+        *edgedist.xyz_exprs("alat", "alng", "a"),
+        *edgedist.xyz_exprs("blat", "blng", "b"),
+    )
+    cand = cand.selectExpr("*", *edgedist.xyz_exprs(lat_col, lng_col, "q"))
 
     scored = cand.crossJoin(F.broadcast(edges))
-    for expr in edgedist.xyz_exprs(lat_col, lng_col, "q"):
-        scored = scored.selectExpr("*", expr)
-    for expr in edgedist.xyz_exprs("alat", "alng", "a"):
-        scored = scored.selectExpr("*", expr)
-    for expr in edgedist.xyz_exprs("blat", "blng", "b"):
-        scored = scored.selectExpr("*", expr)
     scored = edgedist.with_dist2(scored)
     r2 = chord2_from_radians(math.radians(radius_deg))
     hits = scored.filter(F.col("is_interior") | (F.col("dist2") <= F.lit(r2)))
