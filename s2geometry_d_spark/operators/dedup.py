@@ -331,6 +331,15 @@ def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         .select(F.col("u").alias("doc_id"), F.col("u").alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    # self-loops fuse the hook step's two joins into one: with (u, u) in
+    # the edge set, min over neighbors' labels INCLUDES the own label, so
+    # the round needs no separate labels-side join to combine them — and
+    # the self row (v == u) carries the round-start label out of the same
+    # aggregation for the convergence flag.  One shuffle join less per
+    # round on the 100 TB path, one broadcast build less per round here.
+    edges_self = edges.unionByName(
+        labels.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("v"))
+    ).localCheckpoint(eager=True)
     # strategy chooser (same pattern as chains.BROADCAST_STATE_ROWS): when
     # the label table is broadcast-sized, every round join hashes the tiny
     # side map-side — one or two stages per round instead of a 4-exchange
@@ -345,24 +354,19 @@ def dedup_clusters(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     n_parts = max(1, (n_nodes + 65_535) // 65_536) if small else None
     changed = None
     for _ in range(max_rounds):
-        nbr_min = (
-            edges.join(bcast(labels), edges["v"] == labels["doc_id"])
+        # hook: one join + one aggregation (self-loops make min-over-
+        # neighbors the whole step, and the v == u row is the round-start
+        # label, carried out as _prev for the convergence flag)
+        stepped = (
+            edges_self.join(bcast(labels), edges_self["v"] == labels["doc_id"])
             .groupBy("u")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        # carry the round-start label through as _prev so convergence is an
-        # AGGREGATE over the new frame instead of a join back to the old one
-        # — one lazy localCheckpoint + one agg action per round (the agg
-        # materializes the checkpoint), where the old shape paid an eager
-        # checkpoint job PLUS a join+count job every round
-        stepped = labels.join(
-            bcast(nbr_min), labels["doc_id"] == nbr_min["u"], "left"
-        ).select(
-            "doc_id",
-            F.col("lbl").alias("_prev"),
-            F.least(
-                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-            ).alias("lbl"),
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("v") == F.col("u"), F.col("lbl"))).alias(
+                    "_prev"
+                ),
+            )
+            .withColumnRenamed("u", "doc_id")
         )
         # pointer jumping (path compression): lbl <- min(lbl, label OF lbl)
         # — without it convergence needs component-DIAMETER rounds (shingle
