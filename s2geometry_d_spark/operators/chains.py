@@ -417,6 +417,13 @@ def _build_walks(edges: list) -> list:
             if not loop:  # defensive: avoid an infinite splice loop
                 i += 1
                 continue
+            # the reference debug-enforces loop closure at this exact
+            # point (graph.d enforce(edge(loop.back())[1] == v)): a loop
+            # that early-stopped elsewhere would splice a non-contiguous
+            # walk silently — fail loudly instead
+            assert loop[-1][2] == v, (
+                f"maximize_walk: splice loop ends at {loop[-1][2]}, not {v}"
+            )
             walk[i:i] = loop
         return walk
 

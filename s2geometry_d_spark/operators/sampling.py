@@ -24,6 +24,13 @@ All three operators are pure Catalyst expressions (no UDF):
   ordering bottleneck — the 100 TB version would sub-split giant sources
   by a hash prefix and offset the partial sums, same two-phase trick as
   any distributed prefix sum).
+
+The trailing ``orderBy`` each operator applies is for DETERMINISTIC OUTPUT
+ORDER only (the oracle-hash contract of the bundled queries); it adds a
+range-partitioning sort over the output, so the map-only scale claims
+above describe the operators WITHOUT it — a 100 TB caller that does not
+need ordered output should drop the sort (it is the last plan node and
+changes no row).
 """
 
 from __future__ import annotations

@@ -61,7 +61,16 @@ def read_live_chains(
     in-batch read view, which must not see a crashed attempt of the
     CURRENT batch.  The tombstone side is edit-sized — broadcast."""
     rows = spark.read.parquet(f"{out_dir}/chains")
-    tombs = spark.read.parquet(f"{out_dir}/tombstones")
+    # a crashed batch may have written chains/ but died before its first
+    # tombstones/ partition existed (most acutely batch 0): the retry must
+    # see an EMPTY tombstone set, not a PATH_NOT_FOUND that permanently
+    # wedges the stream's documented idempotent-retry contract
+    if _fs_exists(spark, f"{out_dir}/tombstones"):
+        tombs = spark.read.parquet(f"{out_dir}/tombstones")
+    else:
+        tombs = spark.createDataFrame(
+            [], "polyline_id long, batch_id long"
+        )
     if before_batch is not None:
         rows = rows.filter(F.col("batch_id") < before_batch)
         tombs = tombs.filter(F.col("batch_id") < before_batch)
