@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..s2core.regions import Cap, chord2_between, normalize
 from .spatial_join import RegionCovering, candidate_match_kernel
 
 

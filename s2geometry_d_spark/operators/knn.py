@@ -28,7 +28,12 @@ from pyspark.sql import types as T
 
 from ..functions import kernels
 from ..s2core.regions import Cap, chord2_from_radians
-from .spatial_join import candidate_match_kernel, compute_coverings
+from .spatial_join import (
+    RegionCovering,
+    buffered_segment_covering,
+    candidate_match_kernel,
+    compute_coverings,
+)
 
 
 def _chord2_to_query_expr(lat_col: str, lng_col: str):
@@ -722,7 +727,6 @@ def knn_edges_to_edges(
     (functions/edgepair.py).  Returns (query_id, rank, dist2, <edge cols>).
     """
     from ..functions import edgedist, edgepair
-    from ..s2core.polyline import BufferedRegion, Polyline
     from ..s2core.regions import latlng_point
 
     spark = edges_df.sparkSession
@@ -733,7 +737,7 @@ def knn_edges_to_edges(
     for qid, (la, ln), (lb, lnb) in query_edges:
         c = latlng_point(la, ln)
         d = latlng_point(lb, lnb)
-        geom[qid] = (c, d, Polyline.from_latlngs([(la, ln), (lb, lnb)]))
+        geom[qid] = (c, d, (float(la), float(ln), float(lb), float(lnb)))
 
     # numpy pair scorer (bit-identical twin of the SQL fragment, see
     # edgepair._pair_dist2_np): the 62-intermediate SQL projection paid
@@ -767,11 +771,24 @@ def knn_edges_to_edges(
     for _ in range(max_rounds):
         if not pending:
             break
-        regions = []
+        coverings = []
         qrows = []
-        for qid, (c, d, pl) in pending.items():
+        for qid, (c, d, seg) in pending.items():
             ring = min(radius[qid], max_r)
-            regions.append((qid, BufferedRegion(pl, math.radians(ring))))
+            # memoized per-(segment, ring) covering — the driver-side
+            # coverer was ~0.5 s per evaluation for 41 segments, re-paid
+            # every evaluation; keys repeat so the cache hits thereafter
+            coverings.append(
+                RegionCovering(
+                    qid,
+                    None,
+                    list(
+                        buffered_segment_covering(
+                            *seg, math.radians(ring), 24
+                        )
+                    ),
+                )
+            )
             qrows.append(
                 (
                     qid,
@@ -782,7 +799,6 @@ def knn_edges_to_edges(
                     ),
                 )
             )
-        coverings = compute_coverings(regions, max_cells=24)
         cand = candidate_match_kernel(
             registered, coverings, cell_col="ecell", two_way=True
         ).drop("is_interior", "ecell")

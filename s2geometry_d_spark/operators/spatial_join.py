@@ -43,6 +43,31 @@ class RegionCovering:
     cells: list  # [(cell_id_unsigned, is_interior)]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def buffered_segment_covering(
+    la: float, ln: float, lb: float, lnb: float, radius_rad: float, max_cells: int = 24
+) -> tuple:
+    """Memoized covering cells of ONE buffered edge segment — the
+    (cell_id, is_interior) tuples compute_coverings would produce for
+    ``BufferedRegion(Polyline([a, b]), radius)``.  A pure function of five
+    floats, and the dominant DRIVER cost of the edge-target kNN rounds
+    (~0.5 s per evaluation for 41 route segments, re-paid on every
+    evaluation without this cache; ring radii repeat across evaluations,
+    so the cache hits from the second evaluation on)."""
+    from ..s2core.polyline import BufferedRegion, Polyline
+
+    pl = Polyline.from_latlngs([(float(la), float(ln)), (float(lb), float(lnb))])
+    region = BufferedRegion(pl, float(radius_rad))
+    coverer = RegionCoverer(CovererOptions(max_cells=max_cells))
+    return tuple(
+        (cid, region.contains_cell(Cell(CellId(cid))))
+        for cid in coverer.get_covering(region)
+    )
+
+
 def compute_coverings(regions: list[tuple[str, object]], max_cells: int = 64) -> list[RegionCovering]:
     """Exterior covering per region; each cell classified interior/boundary.
 
