@@ -240,6 +240,13 @@ def crossing_pairs_self(
         .filter(F.col("_key").isNotNull())
     )
 
+    # broadcast the own-cell side when the registered table is small: the
+    # frames are derived (filters + explode over a persisted table), so
+    # the planner has no usable size estimate and falls back to a shuffle
+    # join of both sides; the registered row count is exact and cached.
+    # Above the limit both sides shuffle as before (the 100 TB path).
+    a_side = _bc_small(a_side, registered)
+
     cand = (
         a_side.join(b_side, "_key")
         .filter(F.col("_ida") != F.col("_idb"))
@@ -269,6 +276,26 @@ def crossing_pairs_self(
         )
         .select("id_a", "id_b")
     )
+
+
+# registered tables at or below this many (edge, cell) rows broadcast
+# their own-cell join side in the pair sweeps (~16 bytes/row -> tens of MB
+# at the limit); larger indexes keep the shuffle join
+BROADCAST_REG_ROWS = 2_000_000
+
+
+def _bc_small(side: DataFrame, registered: DataFrame) -> DataFrame:
+    """Mark ``side`` for broadcast iff ``registered`` (the persisted table
+    it derives from) is small; the exact row count is cached as an
+    attribute so repeat sweeps skip the count job."""
+    n = getattr(registered, "_s2_reg_rows", None)
+    if n is None:
+        n = registered.count()
+        try:
+            registered._s2_reg_rows = n
+        except AttributeError:
+            pass
+    return F.broadcast(side) if n <= BROADCAST_REG_ROWS else side
 
 
 def _reg_with_level(registered: DataFrame, id_col: str) -> DataFrame:
@@ -385,14 +412,25 @@ def crossing_pairs_join(
 
     b_levels = _distinct_levels(b_reg)
 
-    dir1 = a_reg.select(
-        F.col("ecell").alias("_key"), F.col(a_id_col).alias("id_a")
+    # own-cell sides broadcast when their registered tables are small (see
+    # crossing_pairs_self/_bc_small): derived frames carry no size
+    # estimate, so the planner otherwise shuffles both directions
+    a_own_src = a_registered if a_registered is not None else a_reg
+    b_own_src = b_registered if b_registered is not None else b_reg
+    dir1 = _bc_small(
+        a_reg.select(
+            F.col("ecell").alias("_key"), F.col(a_id_col).alias("id_a")
+        ),
+        a_own_src,
     ).join(_ancestor_keys(b_reg, b_id_col, "id_b", a_levels), "_key")
     cand = dir1.select("id_a", "id_b")
     if b_levels:
         dir2 = _ancestor_keys(a_reg, a_id_col, "id_a", b_levels).join(
-            b_reg.select(
-                F.col("ecell").alias("_key"), F.col(b_id_col).alias("id_b")
+            _bc_small(
+                b_reg.select(
+                    F.col("ecell").alias("_key"), F.col(b_id_col).alias("id_b")
+                ),
+                b_own_src,
             ),
             "_key",
         )
