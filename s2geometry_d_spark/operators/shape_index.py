@@ -359,4 +359,9 @@ def knn_edges_unified(index_df: DataFrame, queries: list, k: int, **kwargs) -> D
     from .knn import knn_edges_join
 
     e = registered_edges_view(index_df)
-    return knn_edges_join(e.drop("ecell"), queries, k, registered_df=e, **kwargs)
+    # the view has one row per (edge, registered cell); the edges_df side
+    # feeds the brute fallback, where duplicate edge rows would occupy
+    # several top-k ranks — dedup to one row per edge (the ring rounds
+    # probe the registration, which keeps every cell row)
+    e_edges = e.drop("ecell").dropDuplicates(["edge_id"])
+    return knn_edges_join(e_edges, queries, k, registered_df=e, **kwargs)
