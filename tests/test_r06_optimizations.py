@@ -1,0 +1,105 @@
+"""Round-6 optimization pins: internals changed for performance must keep
+their contracts — straggler cutover == more ring rounds, memoized coverings
+== the uncached coverer, and the streaming chain retry guard.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_d_spark.operators import knn
+
+
+def _clustered_edges(spark, n=300, seed=11):
+    """Edges clustered near Paris so a far-away query stays pending after
+    round 1 and trips the straggler cutover (len(pending) <= queries//8)."""
+    rng = np.random.default_rng(seed)
+    lat = 48.85 + rng.uniform(-2.0, 2.0, n + 1)
+    lng = 2.35 + rng.uniform(-2.0, 2.0, n + 1)
+    rows = [
+        (i, float(lat[i]), float(lng[i]), float(lat[i + 1]), float(lng[i + 1]))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["edge_id", "alat", "alng", "blat", "blng"])
+
+
+def _key(rows):
+    return sorted((r.query_id, r.rank, r.edge_id) for r in rows)
+
+
+def test_knn_edges_straggler_cutover_matches_bruteforce(spark):
+    """16 near queries finish in round 1; the 1-2 antipodal stragglers are
+    under the cutover bound (16+2 queries // 8 = 2) and route to the brute
+    branch early — results must equal the exact cross join regardless of
+    which path answered."""
+    edges = _clustered_edges(spark)
+    near = [(f"n{i}", 48.0 + 0.1 * i, 2.0 + 0.1 * i) for i in range(16)]
+    far = [("far1", -48.85, -177.65), ("far2", -40.0, -170.0)]
+    queries = near + far
+    fast = knn.knn_edges_join(edges, queries, k=5, n_edges_hint=300)
+    slow = knn.knn_edges_brute_force(edges, queries, k=5)
+    assert _key(fast.collect()) == _key(slow.collect())
+
+
+def test_knn_points_straggler_cutover_matches_bruteforce(spark):
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, float(48.85 + v[0]), float(2.35 + v[1]))
+        for i, v in enumerate(rng.uniform(-2.0, 2.0, (400, 2)))
+    ]
+    pts = spark.createDataFrame(rows, ["point_id", "lat", "lng"])
+    from s2geometry_d_spark.functions import kernels
+
+    pts = pts.withColumn("cell_id", kernels.cell_from_latlng("lat", "lng"))
+    near = [(f"n{i}", 48.0 + 0.2 * i, 2.0 + 0.2 * i) for i in range(16)]
+    queries = near + [("far1", -48.85, -177.65)]
+    fast = knn.knn_join(
+        pts, queries, k=4, n_points_hint=400, tie_col="point_id"
+    ).select("query_id", "rank", F.col("point_id").alias("edge_id"))
+    slow = knn.knn_brute_force(pts, queries, k=4, tie_col="point_id").select(
+        "query_id", "rank", F.col("point_id").alias("edge_id")
+    )
+    assert _key(fast.collect()) == _key(slow.collect())
+
+
+def test_buffered_segment_covering_matches_uncached():
+    """The memoized per-segment covering must equal what compute_coverings
+    produces for the same BufferedRegion (cells AND interior flags)."""
+    from s2geometry_d_spark.operators.spatial_join import (
+        buffered_segment_covering,
+        compute_coverings,
+    )
+    from s2geometry_d_spark.s2core.polyline import BufferedRegion, Polyline
+
+    segs = [
+        (48.85, 2.35, 50.0, 3.0),
+        (-33.86, 151.21, -20.0, 179.5),
+        (0.0, 179.9, 1.0, -179.2),  # dateline
+    ]
+    for la, ln, lb, lnb in segs:
+        for ring in (0.5, 2.0):
+            pl = Polyline.from_latlngs([(la, ln), (lb, lnb)])
+            region = BufferedRegion(pl, math.radians(ring))
+            ref = compute_coverings([("_s", region)], max_cells=24)[0].cells
+            got = list(
+                buffered_segment_covering(la, ln, lb, lnb, math.radians(ring), 24)
+            )
+            assert got == ref
+
+
+def test_read_live_chains_tolerates_missing_tombstones(spark, tmp_path):
+    """Retry wedge (round-5 ADVICE): chains/ written, tombstones/ never
+    created — the live view must read an empty tombstone set, not raise."""
+    from s2geometry_d_spark.streaming.chain_stream import read_live_chains
+
+    out = tmp_path / "chainart"
+    chains = spark.createDataFrame(
+        [(1, 0, 10, 100, 101), (1, 1, 11, 101, 102)],
+        "polyline_id long, seq int, edge_id long, src long, dst long",
+    )
+    chains.write.parquet(str(out / "chains" / "batch_id=0"))
+    live = read_live_chains(spark, str(out))
+    rows = sorted((r.polyline_id, r.seq, r.edge_id) for r in live.collect())
+    assert rows == [(1, 0, 10), (1, 1, 11)]
