@@ -110,7 +110,7 @@ def crossing_edges_join(
         coverings.append(RegionCovering(tid, None, _edge_cap_cells(la, ln, lb, lnb)))
 
     cand = candidate_match_kernel(
-        registered, coverings, cell_col="ecell", two_way=True
+        registered, coverings, cell_col="ecell", two_way=True, prefilter=True
     ).drop("is_interior", "ecell")
     cand = cand.withColumnRenamed("region_id", "target_id")
     crosses = _crossing_udf(payload)

@@ -501,8 +501,12 @@ def knn_edges_join(
             for qid, (lat, lng) in pending.items()
         ]
         coverings = compute_coverings(regions, max_cells=24)
+        # prefilter=True: `ecell` is a stored column of the persisted
+        # registered index, so the coarse-prefix InSet runs native and the
+        # Arrow kernel sees only prefix-matching rows (guide §4.2 — shrink
+        # what crosses the Python boundary)
         cand = candidate_match_kernel(
-            registered, coverings, cell_col="ecell", two_way=True
+            registered, coverings, cell_col="ecell", two_way=True, prefilter=True
         ).drop("is_interior", "ecell")
         # ONE exchange for dedup + window: hash on query_id up front —
         # HashPartitioning(query_id) satisfies the clustered distribution of
@@ -800,7 +804,7 @@ def knn_edges_to_edges(
                 )
             )
         cand = candidate_match_kernel(
-            registered, coverings, cell_col="ecell", two_way=True
+            registered, coverings, cell_col="ecell", two_way=True, prefilter=True
         ).drop("is_interior", "ecell")
         # one exchange for dedup + window (see knn_edges_join): hashing on
         # query_id satisfies both downstream distributions
@@ -966,7 +970,7 @@ def knn_edges_to_cells(
             qrows.append((qid, chord2_from_radians(math.radians(ring))))
         coverings = compute_coverings(regions, max_cells=24)
         cand = candidate_match_kernel(
-            registered, coverings, cell_col="ecell", two_way=True
+            registered, coverings, cell_col="ecell", two_way=True, prefilter=True
         ).drop("is_interior", "ecell")
         # one exchange for dedup + window (see knn_edges_join): hashing on
         # query_id satisfies both downstream distributions

@@ -104,7 +104,7 @@ def nearest_polyline_join(
         ]
         coverings = compute_coverings(regions, max_cells=24)
         cand = candidate_match_kernel(
-            registered, coverings, cell_col="ecell", two_way=True
+            registered, coverings, cell_col="ecell", two_way=True, prefilter=True
         ).drop("is_interior", "ecell")
         # ONE exchange for the whole round: hashing on query_id satisfies
         # the (query, edge) dedup, the (query, polyline) min-aggregation

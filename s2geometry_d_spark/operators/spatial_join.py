@@ -228,15 +228,79 @@ def covering_match_udf(coverings: list[RegionCovering], two_way: bool = False):
     return match, region_ids
 
 
+# Above this many covering cells the coarse-prefix InSet literal list stops
+# being a sensible plan node — skip the native prefilter and let the Arrow
+# kernel see every row (its own cost is O(rows * log cells) regardless).
+PREFILTER_CELL_LIMIT = 8192
+
+
+def coarse_prefix_filter(
+    coverings: list[RegionCovering], cell_col: str, two_way: bool = False
+):
+    """Catalyst-native NECESSARY condition for the Arrow match kernel.
+
+    A row can only match some covering cell if their leaf ranges intersect,
+    i.e. one is an ancestor of the other.  With L = the coarsest covering
+    level, that splits exactly into two codegen-able cases:
+
+    * input at least as fine as L: its level-L ancestor must equal the
+      level-L ancestor of some covering cell (``parent_L(cell) IN P``);
+    * input strictly coarser than L (two-way probes only): the input cell
+      must itself BE a strict ancestor (levels 0..L-1) of some covering
+      cell (``cell IN A``) — there are at most L * |cells| such ids.
+
+    Both tests are pure bit math + InSet, so rows the kernel would map to
+    an empty match array never cross the Arrow boundary at all.  Returns
+    None (caller skips the filter) for empty or oversized coverings.
+
+    ONLY apply this to inputs whose cell column is a stored/persisted
+    column (e.g. a registered edge index): on a column computed by a
+    pandas UDF in the same plan, predicate pushdown would substitute the
+    alias into this filter and evaluate the cell kernel twice (the
+    round-3 doubled-kernel bug class).
+    """
+    cells = [cid for rc in coverings for cid, _ in rc.cells]
+    if not cells or len(cells) > PREFILTER_CELL_LIMIT:
+        return None
+    L = min(CellId(cid).level() for cid in cells)
+    nl = kernels.lsb_for_level(L)
+
+    def signed(cid: int) -> int:
+        return int(np.int64(np.uint64(cid) ^ np.uint64(1 << 63)))
+
+    parents = sorted({(signed(cid) & -nl) | nl for cid in cells})
+    cell = F.col(cell_col)
+    lsb = cell.bitwiseAND(-cell)
+    fine_hit = (lsb <= F.lit(nl)) & kernels.parent_signed(cell, L).isin(parents)
+    if not two_way or L == 0:
+        return fine_hit
+    ancestors: set[int] = set()
+    for cid in cells:
+        c = CellId(cid)
+        for lvl in range(L):
+            ancestors.add(signed(c.parent(lvl).id))
+    coarse_hit = (lsb > F.lit(nl)) & cell.isin(sorted(ancestors))
+    return fine_hit | coarse_hit
+
+
 def candidate_match_kernel(
     points_df: DataFrame,
     coverings: list[RegionCovering],
     cell_col: str = "cell_id",
     two_way: bool = False,
+    prefilter: bool = False,
 ) -> DataFrame:
     """Map-only candidate generation: returns points columns +
-    (region_id, is_interior), like candidate_join, without the explode."""
+    (region_id, is_interior), like candidate_join, without the explode.
+
+    ``prefilter=True`` adds the :func:`coarse_prefix_filter` native filter
+    ahead of the Arrow kernel — opt-in, and only safe when ``cell_col`` is
+    a stored column (see that function's pushdown caveat)."""
     spark = points_df.sparkSession
+    if prefilter:
+        cond = coarse_prefix_filter(coverings, cell_col, two_way=two_way)
+        if cond is not None:
+            points_df = points_df.filter(cond)
     match, region_ids = covering_match_udf(coverings, two_way=two_way)
     mapping = spark.createDataFrame(
         [(i, rid) for i, rid in enumerate(region_ids)], ["_ridx", "region_id"]
