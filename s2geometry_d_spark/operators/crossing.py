@@ -208,14 +208,8 @@ def crossing_pairs_self(
     registered = (
         registered_df if registered_df is not None else register_edges(edges_df)
     )
-    lvl = F.lit(30) - (
-        F.log2(F.col("ecell").bitwiseAND(-F.col("ecell")).cast("double"))
-        / F.lit(2.0)
-    ).cast("int")
-    reg = registered.select(edge_id_col, "ecell").withColumn("_lvl", lvl)
-    levels = sorted(
-        int(r["_lvl"]) for r in reg.select("_lvl").distinct().collect()
-    )
+    reg = _reg_with_level(registered, edge_id_col)
+    levels = _distinct_levels(reg, cache_on=registered)
     if not levels:
         return (
             edges_df.select(F.col(edge_id_col).alias("id_a"))
@@ -306,8 +300,24 @@ def _reg_with_level(registered: DataFrame, id_col: str) -> DataFrame:
     return registered.select(id_col, "ecell").withColumn("_lvl", lvl)
 
 
-def _distinct_levels(reg: DataFrame) -> list[int]:
-    return sorted(int(r["_lvl"]) for r in reg.select("_lvl").distinct().collect())
+def _distinct_levels(reg: DataFrame, cache_on: DataFrame | None = None) -> list[int]:
+    """Distinct registration levels of ``reg``; a pure function of the
+    underlying registered table, so when ``cache_on`` (that persisted,
+    session-shared table) is given the result is memoized as an attribute —
+    repeat sweep evaluations skip the distinct+collect job entirely (same
+    trick as ``_s2_reg_rows``).  Pass cache_on=None for derived/pruned
+    frames whose level set is not a function of the shared table alone."""
+    if cache_on is not None:
+        cached = getattr(cache_on, "_s2_reg_levels", None)
+        if cached is not None:
+            return cached
+    levels = sorted(int(r["_lvl"]) for r in reg.select("_lvl").distinct().collect())
+    if cache_on is not None:
+        try:
+            cache_on._s2_reg_levels = levels
+        except AttributeError:
+            pass
+    return levels
 
 
 def _ancestor_keys(reg: DataFrame, id_col: str, out_id: str, levels: list[int]) -> DataFrame:
@@ -370,15 +380,11 @@ def crossing_pairs_join(
     from ..functions import kernels
     from .knn import register_edges
 
-    a_reg = _reg_with_level(
-        a_registered if a_registered is not None else register_edges(a_edges),
-        a_id_col,
-    )
-    b_reg_full = _reg_with_level(
-        b_registered if b_registered is not None else register_edges(b_edges),
-        b_id_col,
-    )
-    a_levels = _distinct_levels(a_reg)
+    a_registered = a_registered if a_registered is not None else register_edges(a_edges)
+    b_registered = b_registered if b_registered is not None else register_edges(b_edges)
+    a_reg = _reg_with_level(a_registered, a_id_col)
+    b_reg_full = _reg_with_level(b_registered, b_id_col)
+    a_levels = _distinct_levels(a_reg, cache_on=a_registered)
     if not a_levels:
         return (
             a_edges.select(F.col(a_id_col).alias("id_a"))
@@ -393,7 +399,7 @@ def crossing_pairs_join(
         ).distinct()
         # coarser-than-l0 index cells are ancestors OF the batch cells:
         # enumerate S's ancestors at every coarse level the index holds
-        b_levels_all = _distinct_levels(b_reg_full)
+        b_levels_all = _distinct_levels(b_reg_full, cache_on=b_registered)
         coarse = [l for l in b_levels_all if l < l0]
         s_plus = s_keys
         for l in coarse:
@@ -410,13 +416,17 @@ def crossing_pairs_join(
             .drop("_pk")
         )
 
-    b_levels = _distinct_levels(b_reg)
+    # the pruned frame's level set is input-dependent — only memoize when
+    # b_reg IS the full registered view
+    b_levels = _distinct_levels(
+        b_reg, cache_on=None if prune_b_by_a else b_registered
+    )
 
     # own-cell sides broadcast when their registered tables are small (see
     # crossing_pairs_self/_bc_small): derived frames carry no size
     # estimate, so the planner otherwise shuffles both directions
-    a_own_src = a_registered if a_registered is not None else a_reg
-    b_own_src = b_registered if b_registered is not None else b_reg
+    a_own_src = a_registered
+    b_own_src = b_registered
     dir1 = _bc_small(
         a_reg.select(
             F.col("ecell").alias("_key"), F.col(a_id_col).alias("id_a")

@@ -411,15 +411,78 @@ def register_edges(edges_df: DataFrame) -> DataFrame:
     ``unpersist()`` it when done (long-lived sessions registering many edge
     tables would otherwise pin storage forever); the bundled entry driver
     does this via ``__spark_entry__.release_caches``."""
+    from .dedup import _spread
+
+    # spread BEFORE the registration kernel and the persist: an edge table
+    # arriving as one split (the fixture's global-window lineage) would
+    # otherwise serialize the registration UDF AND every later probe of the
+    # persisted index on one core (guide §2.6 input-layout lesson; no-op
+    # when the input already has >= defaultParallelism splits)
     reg_udf = edge_register_cells_udf()
     return (
-        edges_df.withColumn(
+        _spread(edges_df)
+        .withColumn(
             "_rc", reg_udf(F.col("alat"), F.col("alng"), F.col("blat"), F.col("blng"))
         )
         .withColumn("ecell", F.explode(F.array_distinct("_rc")))
         .drop("_rc")
         .persist()
     )
+
+
+def registered_span_deg(registered: DataFrame) -> float | None:
+    """Conservative angular radius (deg) of the registered edge table's
+    lat/lng bounding box — the data's own extent, used to seed ring radii.
+
+    The sphere-uniform seed formula (frac = 4k/n of the WHOLE sphere)
+    over-covers by orders of magnitude when the data occupies a small
+    region: a seed cap sized for global uniformity covers the entire data
+    set and turns round 1 into a near-brute-force candidate join.  One
+    min/max aggregate over the persisted index bounds the data instead;
+    cached as an attribute on the shared frame (same trick as
+    ``_s2_min_reg_level``) so every consumer after the first reads it for
+    free.  Returns None when the table is empty; a dateline-spanning box
+    degrades to a huge span, which callers clamp back to the global seed
+    (performance-conservative, never correctness-relevant — ring doubling
+    proves completeness for ANY seed).
+    """
+    cached = getattr(registered, "_s2_span_deg", None)
+    if cached is not None:
+        return cached
+    row = registered.agg(
+        F.min(F.least("alat", "blat")).alias("lat0"),
+        F.max(F.greatest("alat", "blat")).alias("lat1"),
+        F.min(F.least("alng", "blng")).alias("lng0"),
+        F.max(F.greatest("alng", "blng")).alias("lng1"),
+    ).collect()[0]
+    if row["lat0"] is None:
+        return None
+    lat_span = float(row["lat1"]) - float(row["lat0"])
+    mid_lat = 0.5 * (float(row["lat1"]) + float(row["lat0"]))
+    lng_span = (float(row["lng1"]) - float(row["lng0"])) * math.cos(
+        math.radians(mid_lat)
+    )
+    span = max(0.5 * math.hypot(lat_span, lng_span), 1e-3)
+    try:
+        registered._s2_span_deg = span
+    except Exception:
+        pass
+    return span
+
+
+def _span_seed_deg(
+    registered: DataFrame, frac: float, global_seed: float, floor: float
+) -> float:
+    """Ring seed sized to the DATA extent: a cap of radius span*sqrt(frac)
+    holds ~frac of a box-uniform data set (frac already carries the 4x
+    margin over k).  Never larger than the sphere-uniform seed, never
+    below the floor.  Only meaningful for EXACT unbounded searches — the
+    max_error acceptance band depends on the ring schedule, so callers
+    must keep the global seed there."""
+    span = registered_span_deg(registered)
+    if span is None:
+        return global_seed
+    return min(global_seed, max(floor, 1.5 * span * math.sqrt(frac)))
 
 
 def knn_edges_join(
@@ -467,16 +530,23 @@ def knn_edges_join(
     """
     spark = edges_df.sparkSession
 
+    from ..functions import edgedist
+
+    registered = registered_df if registered_df is not None else register_edges(edges_df)
+
     max_r = 170.0 if max_distance_deg is None else min(max_distance_deg, 170.0)
     if initial_radius_deg is None:
         n = n_edges_hint or 100_000
         frac = min(1.0, 4.0 * k / max(n, 1))
         initial_radius_deg = max(0.2, math.degrees(2.0 * math.asin(math.sqrt(frac))))
+        if max_error_deg == 0.0 and max_distance_deg is None:
+            # exact unbounded search: the ring schedule cannot change the
+            # result, so seed from the data's extent instead of assuming
+            # sphere uniformity (see _span_seed_deg)
+            initial_radius_deg = _span_seed_deg(
+                registered, frac, initial_radius_deg, 0.2
+            )
     initial_radius_deg = min(initial_radius_deg, max_r)
-
-    from ..functions import edgedist
-
-    registered = registered_df if registered_df is not None else register_edges(edges_df)
 
     pending = {qid: (lat, lng) for qid, lat, lng in queries}
     radius = {qid: initial_radius_deg for qid in pending}

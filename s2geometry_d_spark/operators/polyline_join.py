@@ -63,14 +63,24 @@ def nearest_polyline_join(
 
     spark = edges_df.sparkSession
 
+    registered = registered_df if registered_df is not None else register_edges(edges_df)
+
     max_r = 170.0 if max_distance_deg is None else min(max_distance_deg, 170.0)
     if initial_radius_deg is None:
         n = n_polylines_hint or 1_000
         frac = min(1.0, 4.0 * k / max(n, 1))
         initial_radius_deg = max(0.5, math.degrees(2.0 * math.asin(math.sqrt(frac))))
-    initial_radius_deg = min(initial_radius_deg, max_r)
+        if max_error_deg == 0.0 and max_distance_deg is None:
+            # exact unbounded search: ring schedule cannot change results —
+            # seed from the data extent (see knn._span_seed_deg); the
+            # sphere-uniform seed covered the whole fixture region and made
+            # round 1 near-brute-force
+            from .knn import _span_seed_deg
 
-    registered = registered_df if registered_df is not None else register_edges(edges_df)
+            initial_radius_deg = _span_seed_deg(
+                registered, frac, initial_radius_deg, 0.5
+            )
+    initial_radius_deg = min(initial_radius_deg, max_r)
 
     def _score(cand: DataFrame, qdf: DataFrame) -> DataFrame:
         cand = cand.join(F.broadcast(qdf), "query_id")
