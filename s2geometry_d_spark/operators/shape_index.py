@@ -341,7 +341,27 @@ def shapes_in_cell_range(index_df: DataFrame, lo_signed: int, hi_signed: int) ->
 def registered_edges_view(index_df: DataFrame) -> DataFrame:
     """The dim=1 slice as the registered-edge view (edge_id, ecell, lat/lng
     endpoints) every edge consumer understands — ONE build artifact serves
-    crossing joins, closest-edge kNN and polyline clipping alike."""
+    crossing joins, closest-edge kNN and polyline clipping alike.
+
+    The view is memoized as an attribute on ``index_df`` so repeat probes
+    of one (persisted, session-shared) index receive the SAME DataFrame
+    object: the ring-search/pair-sweep hint memos (`_s2_span_deg`,
+    `_s2_min_reg_level`, `_s2_reg_rows`, `_s2_reg_levels`) attach to the
+    view object, and a fresh object per evaluation re-paid those aggregate
+    jobs every time.  DataFrames are immutable, so returning the shared
+    object is observationally identical."""
+    cached = getattr(index_df, "_s2_reg_edges_view", None)
+    if cached is not None:
+        return cached
+    view = _registered_edges_view(index_df)
+    try:
+        index_df._s2_reg_edges_view = view
+    except AttributeError:
+        pass
+    return view
+
+
+def _registered_edges_view(index_df: DataFrame) -> DataFrame:
     return index_df.filter(F.col("dim") == 1).select(
         F.col("shape_id").alias("edge_id"),
         F.col("cell_signed").alias("ecell"),
