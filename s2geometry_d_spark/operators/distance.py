@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import math
 
+from ..functions.localdf import local_df
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,7 +48,7 @@ def within_distance_join(
         qrows.append(
             (qid, math.cos(ln) * math.cos(la), math.sin(ln) * math.cos(la), math.sin(la))
         )
-    qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz"])
+    qdf = local_df(spark, qrows, ["query_id", "qx", "qy", "qz"])
     cand = cand.join(F.broadcast(qdf), "query_id")
     lat_r = F.radians(F.col(lat_col))
     lng_r = F.radians(F.col(lng_col))
@@ -102,7 +103,7 @@ def within_distance_polyline(
          float(waypoints[i + 1][0]), float(waypoints[i + 1][1]))
         for i in range(len(waypoints) - 1)
     ]
-    edges = spark.createDataFrame(edge_rows, ["alat", "alng", "blat", "blng"])
+    edges = local_df(spark, edge_rows, ["alat", "alng", "blat", "blng"])
     # xyz BEFORE the fan-out: the query trig runs once per candidate (not
     # once per candidate x edge) and the edge trig once per edge row — same
     # SQL expressions, same engine, bit-identical values, ~|edges|x less
@@ -213,7 +214,7 @@ def group_rect_bounds(
         if level_width < 1e-12:
             # below ulp scale: remaining ambiguity is a handful of
             # ulp-adjacent distinct doubles per bin — enumerate them
-            pairs_df = spark.createDataFrame(refine, [group_col, "_bin"])
+            pairs_df = local_df(spark, refine, [group_col, "_bin"])
             sub = (
                 src.join(F.broadcast(pairs_df), [group_col, "_bin"], "left_semi")
                 .select(group_col, lng_col)
@@ -227,7 +228,7 @@ def group_rect_bounds(
                     cand[g][1] = np.concatenate([cand[g][1], lngs[:-1]])
                     cand[g][2] = np.concatenate([cand[g][2], lngs[1:]])
             break
-        pairs_df = spark.createDataFrame(
+        pairs_df = local_df(spark, 
             [(g, b) for g, b in refine], [group_col, "_bin"]
         )
         sub_bin = F.floor((F.col(lng_col) + 180.0) / F.lit(level_width)).cast("long")
@@ -277,7 +278,7 @@ def group_rect_bounds(
             (g, int(n_pts), lat_lo, lat_hi, float(end[order]), float(start[order]))
         )
     # round SQL-side (HALF_UP) — python round() is banker's
-    return spark.createDataFrame(
+    return local_df(spark, 
         out_rows, [group_col, "n_points", "lat_lo", "lat_hi", "lng_lo", "lng_hi"]
     ).select(
         group_col,

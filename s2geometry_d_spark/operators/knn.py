@@ -22,6 +22,7 @@ import math
 
 import numpy as np
 import pandas as pd
+from ..functions.localdf import local_df
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -187,7 +188,7 @@ def knn_join(
             )
             for qid, (lat, lng) in pending.items()
         ]
-        qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz", "r2"])
+        qdf = local_df(spark, qrows, ["query_id", "qx", "qy", "qz", "r2"])
         cand = cand.join(F.broadcast(qdf), "query_id")
 
         scored = cand.withColumn("dist2", _chord2_to_query_expr(lat_col, lng_col)).filter(
@@ -255,7 +256,7 @@ def knn_join(
 
     pending.update(brute)
     results = (
-        spark.createDataFrame(done_rows, topk_schema)
+        local_df(spark, done_rows, topk_schema)
         if topk_schema is not None
         else None
     )
@@ -263,7 +264,7 @@ def knn_join(
     if pending:
         # brute-force fallback for stragglers: tiny query set x all points
         qrows = [(qid, *q_xyz(qid, lat, lng)) for qid, (lat, lng) in pending.items()]
-        qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz"])
+        qdf = local_df(spark, qrows, ["query_id", "qx", "qy", "qz"])
         cand = points_df.crossJoin(F.broadcast(qdf))
         scored = cand.withColumn("dist2", _chord2_to_query_expr(lat_col, lng_col))
         if max_distance_deg is not None:
@@ -604,7 +605,7 @@ def knn_edges_join(
             )
             for qid, (lat, lng) in pending.items()
         ]
-        qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz", "r2"])
+        qdf = local_df(spark, qrows, ["query_id", "qx", "qy", "qz", "r2"])
         scored = _score(cand, qdf).filter(F.col("dist2") <= F.col("r2"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist2").asc(), F.col(edge_id_col).asc()
@@ -654,16 +655,16 @@ def knn_edges_join(
 
     pending.update(brute)
     results = (
-        spark.createDataFrame(done_rows, topk_schema)
+        local_df(spark, done_rows, topk_schema)
         if topk_schema is not None
         else None
     )
 
     if pending:
         qrows = [(qid, *_xyz(lat, lng)) for qid, (lat, lng) in pending.items()]
-        qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz"])
+        qdf = local_df(spark, qrows, ["query_id", "qx", "qy", "qz"])
         cand = edges_df.crossJoin(
-            F.broadcast(spark.createDataFrame([(q,) for q in pending], ["query_id"]))
+            F.broadcast(local_df(spark, [(q,) for q in pending], ["query_id"]))
         )
         scored = _score(cand, qdf)
         if max_distance_deg is not None:
@@ -714,7 +715,7 @@ def knn_edges_join_with_interiors(
         "shape_id", F.lit(None).cast("string")
     )
     if zero_rows:
-        zdf = spark.createDataFrame(zero_rows, ["query_id", "shape_id"]).withColumn(
+        zdf = local_df(spark, zero_rows, ["query_id", "shape_id"]).withColumn(
             "dist2", F.lit(0.0)
         )
         res = res.drop("rank").unionByName(zdf, allowMissingColumns=True)
@@ -751,7 +752,7 @@ def knn_edges_join_with_interiors_table(
     from .poly_index import points_in_polygons_table
 
     spark = edges_df.sparkSession
-    qdf = spark.createDataFrame(queries, ["query_id", "lat", "lng"]).withColumn(
+    qdf = local_df(spark, queries, ["query_id", "lat", "lng"]).withColumn(
         "cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng"))
     )
     zero = (
@@ -883,7 +884,7 @@ def knn_edges_to_edges(
             .repartition("query_id")
             .dropDuplicates(["query_id", edge_id_col])
         )
-        qdf = spark.createDataFrame(
+        qdf = local_df(spark, 
             qrows, ["query_id", "cx", "cy", "cz", "dx", "dy", "dz", "r2"]
         )
         scored = _score(cand, qdf).filter(F.col("dist2") <= F.col("r2"))
@@ -917,18 +918,18 @@ def knn_edges_to_edges(
 
     pending.update(brute)
     results = (
-        spark.createDataFrame(done_rows, topk_schema)
+        local_df(spark, done_rows, topk_schema)
         if topk_schema is not None
         else None
     )
 
     if pending:
         qrows = [(qid, *c, *d) for qid, (c, d, _) in pending.items()]
-        qdf = spark.createDataFrame(
+        qdf = local_df(spark, 
             qrows, ["query_id", "cx", "cy", "cz", "dx", "dy", "dz"]
         )
         cand = edges_df.crossJoin(
-            F.broadcast(spark.createDataFrame([(q,) for q in pending], ["query_id"]))
+            F.broadcast(local_df(spark, [(q,) for q in pending], ["query_id"]))
         )
         scored = _score(cand, qdf)
         if max_distance_deg is not None:
@@ -1049,7 +1050,7 @@ def knn_edges_to_cells(
             .repartition("query_id")
             .dropDuplicates(["query_id", edge_id_col])
         )
-        qdf = spark.createDataFrame(qrows, ["query_id", "r2"])
+        qdf = local_df(spark, qrows, ["query_id", "r2"])
         scored = _score(cand, qdf).filter(F.col("dist2") <= F.col("r2"))
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist2").asc(), F.col(edge_id_col).asc()
@@ -1080,13 +1081,13 @@ def knn_edges_to_cells(
 
     pending.update(brute)
     results = (
-        spark.createDataFrame(done_rows, topk_schema)
+        local_df(spark, done_rows, topk_schema)
         if topk_schema is not None
         else None
     )
 
     if pending:
-        qdf = spark.createDataFrame([(q,) for q in pending], ["query_id"])
+        qdf = local_df(spark, [(q,) for q in pending], ["query_id"])
         cand = edges_df.crossJoin(F.broadcast(qdf))
         cand = cand.selectExpr(
             "*",
@@ -1380,7 +1381,7 @@ def knn_edges_join_tables(
                 StructType,
             )
 
-            results = spark.createDataFrame(
+            results = local_df(spark, 
                 [],
                 StructType(
                     [
@@ -1456,7 +1457,7 @@ def knn_edges_brute_force(
     from ..functions import edgedist
 
     spark = edges_df.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark, 
         [(qid, *_xyz(lat, lng)) for qid, lat, lng in queries],
         ["query_id", "qx", "qy", "qz"],
     )
@@ -1486,7 +1487,7 @@ def knn_brute_force(
     """Oracle: exact cross-join top-k (reference setUseBruteForce analogue)."""
     spark = points_df.sparkSession
     tie_col = tie_col or cell_col
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark, 
         [(qid, *_xyz(lat, lng)) for qid, lat, lng in queries],
         ["query_id", "qx", "qy", "qz"],
     )

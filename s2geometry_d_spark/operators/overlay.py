@@ -12,6 +12,7 @@ points from the two great-circle normals — closed-form SQL, no trig).
 from __future__ import annotations
 
 import pandas as pd
+from ..functions.localdf import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -42,7 +43,7 @@ def pairs_dataframe(spark: SparkSession, pairs) -> DataFrame:
     rows = [
         (pid, [list(v) for v in av], [list(v) for v in bv]) for pid, av, bv in pairs
     ]
-    return spark.createDataFrame(rows, PAIR_SCHEMA)
+    return local_df(spark, rows, PAIR_SCHEMA)
 
 
 GROUP_SCHEMA = T.StructType(
@@ -58,7 +59,7 @@ def union_groups_dataframe(spark: SparkSession, groups) -> DataFrame:
     rows = [
         (gid, [[list(v) for v in poly] for poly in polys]) for gid, polys in groups
     ]
-    return spark.createDataFrame(rows, GROUP_SCHEMA)
+    return local_df(spark, rows, GROUP_SCHEMA)
 
 
 def union_vertices(groups_df: DataFrame) -> DataFrame:
@@ -192,7 +193,7 @@ def loop_pairs_dataframe(spark: SparkSession, pairs) -> DataFrame:
         )
         for pid, a_loops, b_loops in pairs
     ]
-    return spark.createDataFrame(rows, PAIR_SCHEMA_LOOPS)
+    return local_df(spark, rows, PAIR_SCHEMA_LOOPS)
 
 
 def overlay_vertices_loops(
@@ -276,7 +277,7 @@ def dirty_polygons_dataframe(spark: SparkSession, polys) -> DataFrame:
     rows = [
         (pid, [[list(v) for v in loop] for loop in loops]) for pid, loops in polys
     ]
-    return spark.createDataFrame(rows, POLY_LOOPS_SCHEMA)
+    return local_df(spark, rows, POLY_LOOPS_SCHEMA)
 
 
 def snap_polygons_table(polys_df: DataFrame, exponent: int = 4) -> DataFrame:
@@ -334,7 +335,7 @@ SNAP_LINE_SCHEMA = T.StructType(
 def dirty_polylines_dataframe(spark: SparkSession, lines) -> DataFrame:
     """lines: [(line_id, [vertex_xyz, ...])]."""
     rows = [(lid, [list(v) for v in verts]) for lid, verts in lines]
-    return spark.createDataFrame(rows, LINE_VERTS_SCHEMA)
+    return local_df(spark, rows, LINE_VERTS_SCHEMA)
 
 
 def snap_polylines_table(lines_df: DataFrame, exponent: int = 4) -> DataFrame:

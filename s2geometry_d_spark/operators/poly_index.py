@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from ..functions.localdf import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -61,7 +62,7 @@ def polygons_dataframe(spark: SparkSession, regions) -> DataFrame:
     rows = [
         (rid, [list(v) for v in poly.loops[0].vertices]) for rid, poly in regions
     ]
-    return spark.createDataFrame(rows, POLYS_SCHEMA)
+    return local_df(spark, rows, POLYS_SCHEMA)
 
 
 POLYS_LOOPS_SCHEMA = T.StructType(
@@ -83,7 +84,7 @@ def polygons_dataframe_loops(spark: SparkSession, regions) -> DataFrame:
         (rid, [[list(v) for v in lp.vertices] for lp in poly.loops])
         for rid, poly in regions
     ]
-    return spark.createDataFrame(rows, POLYS_LOOPS_SCHEMA)
+    return local_df(spark, rows, POLYS_LOOPS_SCHEMA)
 
 
 def build_polygon_index(polys_df: DataFrame, max_edges_per_cell: int = 16) -> DataFrame:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 
+from ..functions.localdf import local_df
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -135,7 +136,7 @@ def nearest_polyline_join(
             )
             for qid, (lat, lng) in pending.items()
         ]
-        qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz", "r2"])
+        qdf = local_df(spark, qrows, ["query_id", "qx", "qy", "qz", "r2"])
         scored = _score(cand, qdf).filter(F.col("dist2") <= F.col("r2"))
         topk = _topk(scored.drop("qx", "qy", "qz", "r2"))
 
@@ -173,16 +174,16 @@ def nearest_polyline_join(
 
     pending.update(brute)
     results = (
-        spark.createDataFrame(done_rows, topk_schema)
+        local_df(spark, done_rows, topk_schema)
         if topk_schema is not None
         else None
     )
 
     if pending:
         qrows = [(qid, *_xyz(lat, lng)) for qid, (lat, lng) in pending.items()]
-        qdf = spark.createDataFrame(qrows, ["query_id", "qx", "qy", "qz"])
+        qdf = local_df(spark, qrows, ["query_id", "qx", "qy", "qz"])
         cand = edges_df.crossJoin(
-            F.broadcast(spark.createDataFrame([(q,) for q in pending], ["query_id"]))
+            F.broadcast(local_df(spark, [(q,) for q in pending], ["query_id"]))
         )
         scored = _score(cand, qdf)
         if max_distance_deg is not None:
@@ -206,7 +207,7 @@ def polyline_brute_force(
     from ..functions import edgedist
 
     spark = edges_df.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark, 
         [(qid, *_xyz(lat, lng)) for qid, lat, lng in queries],
         ["query_id", "qx", "qy", "qz"],
     )

@@ -29,6 +29,7 @@ everywhere story at the heterogeneous-feature level.
 
 from __future__ import annotations
 
+from ..functions.localdf import local_df
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -204,7 +205,7 @@ def update_shape_index(
                 F.col(remove_shape_ids.columns[0]).cast("string").alias("shape_id")
             )
         else:
-            rm = index_df.sparkSession.createDataFrame(
+            rm = local_df(index_df.sparkSession, 
                 [(str(s),) for s in remove_shape_ids], "shape_id string"
             )
         out = out.join(F.broadcast(rm), "shape_id", "left_anti")

@@ -23,6 +23,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+from ..functions.localdf import local_df
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -101,7 +102,7 @@ def covering_dataframe(spark, coverings: list[RegionCovering]) -> DataFrame:
             T.StructField("is_interior", T.BooleanType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def candidate_join(
@@ -302,7 +303,7 @@ def candidate_match_kernel(
         if cond is not None:
             points_df = points_df.filter(cond)
     match, region_ids = covering_match_udf(coverings, two_way=two_way)
-    mapping = spark.createDataFrame(
+    mapping = local_df(spark, 
         [(i, rid) for i, rid in enumerate(region_ids)], ["_ridx", "region_id"]
     )
     # NOTE: no size-filter before the explode — explode already drops rows

@@ -35,6 +35,7 @@ import math
 
 import numpy as np
 import pandas as pd
+from ..functions.localdf import local_df
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -492,7 +493,7 @@ def image_tile_assignment(
         distinct_extents = known_extents or [
             r[0] for r in images.select(extent_col).distinct().collect()
         ]
-        lookup = spark.createDataFrame(
+        lookup = local_df(spark, 
             [(float(e), tile_level_for_extent(float(e))) for e in distinct_extents],
             [extent_col, "level"],
         )

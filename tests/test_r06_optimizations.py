@@ -147,3 +147,68 @@ def test_read_live_chains_tolerates_missing_tombstones(spark, tmp_path):
     live = read_live_chains(spark, str(out))
     rows = sorted((r.polyline_id, r.seq, r.edge_id) for r in live.collect())
     assert rows == [(1, 0, 10), (1, 1, 11)]
+
+
+# --- local_df: LocalRelation-backed small driver-side frames ---------------
+
+
+def test_local_df_bit_exact_and_local_plan(spark):
+    """local_df must produce the same schema and BIT-IDENTICAL values as
+    createDataFrame while planning as a LocalTableScan (no RDD, no Python
+    workers at broadcast-build time)."""
+    import struct
+
+    from s2geometry_d_spark.functions.localdf import local_df
+
+    rows = [
+        (f"q{i}", v, -v, i, bool(i % 2))
+        for i, v in enumerate(
+            [0.0, 1e-300, -1e300, 0.1, 2.0 / 3.0, 1.7976931348623157e308, 5e-324]
+        )
+    ]
+    ref = spark.createDataFrame(rows, ["query_id", "qx", "qy", "n", "flag"])
+    got = local_df(spark, rows, ["query_id", "qx", "qy", "n", "flag"])
+    assert [f.dataType for f in got.schema] == [f.dataType for f in ref.schema]
+    assert "LocalTableScan" in got._jdf.queryExecution().executedPlan().toString()
+    a = sorted(ref.collect(), key=lambda r: r.query_id)
+    b = sorted(got.collect(), key=lambda r: r.query_id)
+    for ra, rb in zip(a, b):
+        assert ra.query_id == rb.query_id and ra.n == rb.n and ra.flag == rb.flag
+        assert struct.pack("<d", ra.qx) == struct.pack("<d", rb.qx)
+        assert struct.pack("<d", ra.qy) == struct.pack("<d", rb.qy)
+
+
+def test_local_df_nulls_specials_and_escaping(spark):
+    from s2geometry_d_spark.functions.localdf import local_df
+
+    rows = [
+        ("it's \\ tricky", None, float("nan")),
+        (None, 7, float("inf")),
+    ]
+    got = local_df(spark, rows, ["s", "n", "x"]).collect()
+    got.sort(key=lambda r: (r.s is None, r.s or ""))
+    assert got[0].s == "it's \\ tricky" and got[0].n is None and math.isnan(got[0].x)
+    assert got[1].s is None and got[1].n == 7 and got[1].x == float("inf")
+
+
+def test_local_df_falls_back_for_arrays(spark):
+    """Non-atomic schemas take the createDataFrame path (few slices), with
+    identical results."""
+    from pyspark.sql import types as T
+
+    from s2geometry_d_spark.functions.localdf import local_df
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("xs", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = [("a", [1.0, 2.0]), ("b", [3.0])]
+    got = local_df(spark, rows, schema)
+    assert got.schema == schema
+    assert sorted((r.id, tuple(r.xs)) for r in got.collect()) == [
+        ("a", (1.0, 2.0)),
+        ("b", (3.0,)),
+    ]
+    assert got.rdd.getNumPartitions() == 1
