@@ -296,8 +296,13 @@ def candidate_match_kernel(
 
     ``prefilter=True`` adds the :func:`coarse_prefix_filter` native filter
     ahead of the Arrow kernel — opt-in, and only safe when ``cell_col`` is
-    a stored column (see that function's pushdown caveat)."""
+    a stored column (see that function's pushdown caveat).  Frames whose
+    producer guarantees that (the persisted point fixture materializes
+    ``cell_id`` in its cache, so a filter on it never re-runs the cell
+    kernel) opt in by carrying a ``_s2_cell_stored`` attribute."""
     spark = points_df.sparkSession
+    if not prefilter:
+        prefilter = bool(getattr(points_df, "_s2_cell_stored", False))
     if prefilter:
         cond = coarse_prefix_filter(coverings, cell_col, two_way=two_way)
         if cond is not None:

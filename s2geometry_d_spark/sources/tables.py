@@ -64,6 +64,11 @@ def spatial_points(spark: SparkSession, sf_dir: str, with_cell: bool = True) -> 
     if with_cell:
         df = df.withColumn("cell_id", kernels.cell_from_latlng(F.col("lat"), F.col("lng")))
     df = df.persist()
+    if with_cell:
+        # cell_id is materialized IN the cache, so native filters on it can
+        # never re-evaluate the cell kernel — probes may safely prepend the
+        # coarse-prefix prefilter (spatial_join.coarse_prefix_filter)
+        df._s2_cell_stored = True
     _POINTS_CACHE[key] = df
     return df
 
