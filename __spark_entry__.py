@@ -1130,6 +1130,11 @@ def _q_text_format_roundtrip(spark, sf_dir):
     pts = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .select(F.col("o_orderkey").alias("point_id"))
+        # the test parquet is one split: without a spread the whole %.15g
+        # format+parse pipeline runs as a single task (guide §2.6; job
+        # profile: 1-task 1.2 s stage).  No-op at production split counts,
+        # and row order is irrelevant to the (sorted) oracle hash.
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn(
             "lat",
             F.expr(
